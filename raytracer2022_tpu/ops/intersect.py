@@ -1,0 +1,632 @@
+"""Batched ray-primitive intersection (wavefront closest-hit).
+
+Replaces the reference's per-ray virtual ``Hittable::hit`` recursion
+(reference: raytracer/src/hittable/) with vectorized phases:
+
+  * ``candidate_t`` — for N rays x P primitives compute candidate hit
+    distances entirely elementwise on the broadcasted ``(N, P)`` grid so XLA
+    fuses one VPU pass (the TPU-optimal strategy for small scenes);
+  * ``candidate_t_rows`` — same formulas for per-ray *gathered* primitive
+    rows (BVH leaf tests, light pdf queries);
+  * ``traverse_bvh`` — lockstep stackless skip-link walk over the flattened
+    BVH (see scene/bvh.py) inside one ``lax.while_loop``;
+  * ``hit_details`` — full hit record reconstructed only for the winning
+    primitive per ray.
+
+Constant mediums (constantmedium.rs) are stochastic and need their boundary
+primitives; they are resolved in a separate small pass per medium and
+min-combined.  All math mirrors the reference formulas in semantics; see the
+per-kind helpers for file:line citations.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import MEDIUM, MSPHERE, RECT, RING, SPHERE, TRIANGLE, SceneData
+from .vecmath import cross, dot, masked_sqrt, safe_div, scale, to_unit, vec3
+
+INF = jnp.inf
+PI = math.pi
+
+
+@flax.struct.dataclass
+class Hit:
+    """SoA hit record (reference HitRecord, hittable/mod.rs:18-57).
+
+    ``normal`` is the face normal (flipped to oppose the ray by
+    ``set_face_normal``, mod.rs:49-56).  ``front`` already includes the
+    ``FlipFace`` toggle (mod.rs:267-292).  ``u, v`` are the surface params
+    (barycentric beta/gamma for triangles); ``tex_uv`` is the
+    ObjTexture-interpolated image uv for triangles that carry one.
+    """
+
+    hit: jnp.ndarray  # bool[N]
+    t: jnp.ndarray  # f32[N]
+    prim: jnp.ndarray  # i32[N]
+    p: jnp.ndarray  # f32[3, N]
+    normal: jnp.ndarray  # f32[3, N]
+    front: jnp.ndarray  # bool[N]
+    u: jnp.ndarray  # f32[N]
+    v: jnp.ndarray  # f32[N]
+    tex_uv: jnp.ndarray  # f32[2, N]
+    mat: jnp.ndarray  # i32[N]
+
+
+# --------------------------------------------------------------------------
+# per-kind candidate-t formulas (shapes broadcast: grid or row variants)
+# --------------------------------------------------------------------------
+
+
+def _sphere_t(center, radius, o, d, t_min, t_max):
+    """Quadratic two-root selection (sphere.rs:39-66).
+
+    Accepts a root iff ``t_min <= root <= t_max`` (the reference rejects on
+    ``root < t_min || t_max < root``).
+    """
+    oc = o - center
+    a = dot(d, d)
+    half_b = dot(oc, d)
+    c = dot(oc, oc) - radius * radius
+    disc = half_b * half_b - a * c
+    ok = disc >= 0.0
+    sq = masked_sqrt(disc, ok)  # grad-safe: no sqrt'(0)=inf on missed lanes
+    root1 = safe_div(-half_b - sq, a)
+    root2 = safe_div(-half_b + sq, a)
+    v1 = ok & (root1 >= t_min) & (root1 <= t_max)
+    v2 = ok & (root2 >= t_min) & (root2 <= t_max)
+    return jnp.where(v1, root1, jnp.where(v2, root2, INF))
+
+
+def _msphere_center(p, tm):
+    """Lerped center at ray time (sphere.rs:124-127). p: (16, ...) params.
+
+    safe_div: non-msphere rows have zero t0/t1 and this branch is masked out.
+    """
+    c0 = vec3(p[0], p[1], p[2])
+    c1 = vec3(p[4], p[5], p[6])
+    frac = safe_div(tm - p[7], p[8] - p[7])
+    return c0 + scale(c1 - c0, frac)
+
+
+def _axis_select(v, axis):
+    """Pick component ``axis`` (an integer array) out of a (3, ...) vector."""
+    return jnp.where(axis == 0, v[0], jnp.where(axis == 1, v[1], v[2]))
+
+
+def _rect_axes(ka):
+    """Map the constant axis to the two in-plane axes.
+
+    XYRect ka=2 -> (x, y); XZRect ka=1 -> (x, z); YZRect ka=0 -> (y, z)
+    (aarect.rs:13-260, unified one-kernel form per SURVEY.md §2 row 10).
+    """
+    a_axis = jnp.where(ka == 0, 1, 0)
+    b_axis = jnp.where(ka == 2, 1, 2)
+    return a_axis, b_axis
+
+
+def _rect_t(p, o, d, t_min, t_max):
+    """Axis-rect plane solve + bounds (aarect.rs:47-66 et al.)."""
+    ka = p[5].astype(jnp.int32)
+    a0, a1, b0, b1, k = p[0], p[1], p[2], p[3], p[4]
+    a_axis, b_axis = _rect_axes(ka)
+    ok_ = _axis_select(o, ka)
+    dk = _axis_select(d, ka)
+    # grad-safe: dk==0 would give inf t (the reference then rejects via the
+    # coordinate bounds); we reject explicitly instead
+    t = safe_div(k - ok_, dk)
+    av = _axis_select(o, a_axis) + t * _axis_select(d, a_axis)
+    bv = _axis_select(o, b_axis) + t * _axis_select(d, b_axis)
+    valid = (
+        (dk != 0.0)
+        & (t >= t_min)
+        & (t <= t_max)
+        & (av >= a0)
+        & (av <= a1)
+        & (bv >= b0)
+        & (bv <= b1)
+    )
+    return jnp.where(valid, t, INF)
+
+
+def _tri_t(p, o, d, t_min, t_max):
+    """Plane hit + three cross-product sign tests (triangle.rs:33-63)."""
+    a = vec3(p[0], p[1], p[2])
+    b = vec3(p[3], p[4], p[5])
+    c = vec3(p[6], p[7], p[8])
+    ncr = cross(b - a, c - a)
+    nlen = jnp.sqrt(dot(ncr, ncr))
+    n = ncr / jnp.where(nlen == 0.0, 1.0, nlen)[None]  # non-tri rows: zeros
+    denom = dot(d, n)
+    t = safe_div(dot(a - o, n), denom)
+    pt = o + scale(d, t)
+    inside = (
+        (dot(cross(c - a, pt - a), cross(c - a, b - a)) >= 0.0)
+        & (dot(cross(a - b, pt - b), cross(a - b, c - b)) >= 0.0)
+        & (dot(cross(b - c, pt - c), cross(b - c, a - c)) >= 0.0)
+    )
+    valid = (
+        (denom != 0.0)
+        & (nlen != 0.0)
+        & (t >= t_min)
+        & (t <= t_max)
+        & inside
+    )
+    return jnp.where(valid, t, INF)
+
+
+def _ring_t(p, o, d, t_min, t_max):
+    """Flat annulus in plane y=0 (ring.rs:36-52)."""
+    t = safe_div(-o[1], d[1])
+    px = o[0] + t * d[0]
+    pz = o[2] + t * d[2]
+    dd = px * px + pz * pz
+    valid = (
+        (d[1] != 0.0)
+        & (t >= t_min)
+        & (t <= t_max)
+        & (dd >= p[2])
+        & (dd <= p[3])
+    )
+    return jnp.where(valid, t, INF)
+
+
+def _t_switch(kind, p, o, d, tm, t_min, t_max):
+    """Masked evaluation of all kinds, selected by integer ``kind``.
+
+    MEDIUM rows yield +inf here; they are resolved by ``_medium_t``.
+    """
+    t_sph = _sphere_t(vec3(p[0], p[1], p[2]), p[3], o, d, t_min, t_max)
+    t_msp = _sphere_t(_msphere_center(p, tm), p[3], o, d, t_min, t_max)
+    t_rect = _rect_t(p, o, d, t_min, t_max)
+    t_tri = _tri_t(p, o, d, t_min, t_max)
+    t_ring = _ring_t(p, o, d, t_min, t_max)
+    return jnp.where(
+        kind == SPHERE,
+        t_sph,
+        jnp.where(
+            kind == MSPHERE,
+            t_msp,
+            jnp.where(
+                kind == RECT,
+                t_rect,
+                jnp.where(kind == TRIANGLE, t_tri, jnp.where(kind == RING, t_ring, INF)),
+            ),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# world -> object transforms
+# --------------------------------------------------------------------------
+
+
+def _apply_rot(rot, v):
+    """rot: (3, 3, ...); v: (3, ...) -> R @ v."""
+    return vec3(
+        rot[0, 0] * v[0] + rot[0, 1] * v[1] + rot[0, 2] * v[2],
+        rot[1, 0] * v[0] + rot[1, 1] * v[1] + rot[1, 2] * v[2],
+        rot[2, 0] * v[0] + rot[2, 1] * v[1] + rot[2, 2] * v[2],
+    )
+
+
+def _apply_rot_t(rot, v):
+    """rot: (3, 3, ...); v: (3, ...) -> R^T @ v."""
+    return vec3(
+        rot[0, 0] * v[0] + rot[1, 0] * v[1] + rot[2, 0] * v[2],
+        rot[0, 1] * v[0] + rot[1, 1] * v[1] + rot[2, 1] * v[2],
+        rot[0, 2] * v[0] + rot[1, 2] * v[1] + rot[2, 2] * v[2],
+    )
+
+
+def _xform_rays(rot, trans, inv_s, o, d):
+    """World->object similarity: p' = R(p - t)/s, d' = R d / s.
+
+    Preserves the hit parameter t (unlike the reference's Zoom quirk,
+    hittable/mod.rs:321-330 — see SURVEY.md §2 row 15).
+    """
+    o2 = _apply_rot(rot, o - trans) * inv_s[None]
+    d2 = _apply_rot(rot, d) * inv_s[None]
+    return o2, d2
+
+
+# --------------------------------------------------------------------------
+# phase 1: candidate t
+# --------------------------------------------------------------------------
+
+
+def candidate_t(
+    scene: SceneData,
+    o: jnp.ndarray,  # (3, N)
+    d: jnp.ndarray,  # (3, N)
+    tm: jnp.ndarray,  # (N,)
+    t_min,
+    t_max,  # scalar or (N,)
+    prim_slice: Optional[slice] = None,
+    include_inactive: bool = False,
+) -> jnp.ndarray:
+    """Candidate hit t for every (ray, prim) pair -> f32[N, P]."""
+    sl = prim_slice if prim_slice is not None else slice(None)
+    kind = scene.kind[sl]
+    p = scene.params[:, sl][:, None, :]  # (16, 1, P)
+
+    ob = o[:, :, None]  # (3, N, 1)
+    db = d[:, :, None]
+    if scene.any_xform:
+        ob, db = _xform_rays(
+            scene.xf_rot[:, :, None, sl],
+            scene.xf_trans[:, None, sl],
+            scene.xf_inv_scale[None, sl],
+            ob,
+            db,
+        )
+
+    t_min = jnp.asarray(t_min)
+    t_max = jnp.asarray(t_max)
+    if t_min.ndim == 1:
+        t_min = t_min[:, None]
+    if t_max.ndim == 1:
+        t_max = t_max[:, None]
+
+    t = _t_switch(kind[None, :], p, ob, db, tm[:, None], t_min, t_max)
+    if not include_inactive:
+        t = jnp.where(scene.active[sl][None, :], t, INF)
+    return t
+
+
+def candidate_t_rows(
+    scene: SceneData,
+    pid: jnp.ndarray,  # i32[N] per-ray primitive ids
+    o,
+    d,
+    tm,
+    t_min,
+    t_max,
+) -> jnp.ndarray:
+    """Candidate t against a *gathered* primitive row per ray -> f32[N]."""
+    p = scene.params[:, pid]  # (16, N)
+    kind = scene.kind[pid]
+    if scene.any_xform:
+        o, d = _xform_rays(
+            scene.xf_rot[:, :, pid],
+            scene.xf_trans[:, pid],
+            scene.xf_inv_scale[pid],
+            o,
+            d,
+        )
+    return _t_switch(kind, p, o, d, tm, t_min, t_max)
+
+
+def _medium_t(
+    scene: SceneData,
+    med_prim: int,
+    b_start: int,
+    b_count: int,
+    o,
+    d,
+    tm,
+    t_min,
+    key,
+) -> jnp.ndarray:
+    """Stochastic constant-medium hit t per ray (constantmedium.rs:50-76).
+
+    Entry = closest boundary hit in (-inf, inf); exit = closest boundary hit
+    in (entry + 1e-4, inf); exponential free flight against density.  Uses
+    unclamped t_max (equivalent to the reference's clamp-to-closest: a
+    sampled point beyond the closest other hit simply loses the argmin).
+    """
+    bsl = slice(b_start, b_start + b_count)
+    t_entry = jnp.min(
+        candidate_t(scene, o, d, tm, -INF, INF, prim_slice=bsl, include_inactive=True),
+        axis=1,
+    )
+    t_exit = jnp.min(
+        candidate_t(
+            scene, o, d, tm, t_entry + 1e-4, INF, prim_slice=bsl, include_inactive=True
+        ),
+        axis=1,
+    )
+    has_both = jnp.isfinite(t_entry) & jnp.isfinite(t_exit)
+
+    neg_inv_density = scene.params[0, med_prim]
+    # grad-safe: replace inf entries/exits on missing-boundary lanes before
+    # any arithmetic (inf - inf = NaN would poison the VJP)
+    rec1 = jnp.maximum(jnp.where(has_both, t_entry, 0.0), t_min)
+    rec2 = jnp.where(has_both, t_exit, 0.0)
+    ok_span = rec1 < rec2
+    rec1 = jnp.maximum(rec1, 0.0)
+    ray_len = jnp.sqrt(dot(d, d))
+    dist_inside = (rec2 - rec1) * ray_len
+    u = jax.random.uniform(jax.random.fold_in(key, med_prim), rec1.shape)
+    # ln(U); U == 0 gives -inf -> hit_distance = +inf -> miss, matching the
+    # reference's rnd.log(E) on (0,1).
+    hit_distance = neg_inv_density * jnp.log(u)
+    ok = has_both & ok_span & (hit_distance <= dist_inside)
+    t = rec1 + hit_distance / ray_len
+    return jnp.where(ok, t, INF)
+
+
+# --------------------------------------------------------------------------
+# BVH traversal (stackless skip links, lockstep wavefront)
+# --------------------------------------------------------------------------
+
+
+def traverse_bvh(
+    scene: SceneData,
+    o,
+    d,
+    tm,
+    t_min,
+    t_max,
+    leaf_size: int = 4,
+):
+    """Closest hit over the BVH subset -> (t_best f32[N], best i32[N]).
+
+    Every ray walks the preorder skip-link array in lockstep inside one
+    ``lax.while_loop``; finished rays idle at node == Nn.  The AABB slab
+    test follows aabb.rs:15-32 (running max/min with early tmax<=tmin fail),
+    with the current per-ray ``t_best`` as the shrinking upper bound (the
+    t_max threading of bvh/mod.rs:86-101).
+    """
+    bvh = scene.bvh
+    n_nodes = bvh.skip.shape[0]
+    n = o.shape[1]
+    inv_d = 1.0 / d  # (3, N); IEEE inf on zero components like the reference
+
+    t_best0 = jnp.full((n,), INF)
+    if jnp.ndim(t_max) == 0:
+        t_cap = jnp.full((n,), t_max)
+    else:
+        t_cap = t_max
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, t_best, best = state
+        ray_live = node < n_nodes
+        nd = jnp.minimum(node, n_nodes - 1)
+
+        bmin = bvh.bmin[:, nd]  # (3, N)
+        bmax = bvh.bmax[:, nd]
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        near = jnp.where(inv_d < 0.0, t1, t0)
+        far = jnp.where(inv_d < 0.0, t0, t1)
+        cur_max = jnp.minimum(t_best, t_cap)
+        tmin_r = jnp.maximum(jnp.maximum(jnp.maximum(near[0], near[1]), near[2]), t_min)
+        tmax_r = jnp.minimum(jnp.minimum(jnp.minimum(far[0], far[1]), far[2]), cur_max)
+        hit_box = (tmax_r > tmin_r) & ray_live
+
+        leaf_cnt = bvh.leaf_count[nd]
+        start = bvh.leaf_start[nd]
+        is_leaf = leaf_cnt > 0
+
+        for j in range(leaf_size):
+            pid = jnp.clip(start + j, 0, scene.n_prims - 1)
+            valid = hit_box & is_leaf & (j < leaf_cnt)
+            t_j = candidate_t_rows(
+                scene, pid, o, d, tm, t_min, jnp.minimum(t_best, t_cap)
+            )
+            upd = valid & (t_j < t_best)
+            t_best = jnp.where(upd, t_j, t_best)
+            best = jnp.where(upd, pid, best)
+
+        descend = hit_box & ~is_leaf
+        node = jnp.where(ray_live, jnp.where(descend, nd + 1, bvh.skip[nd]), node)
+        return node, t_best, best
+
+    node0 = jnp.zeros((n,), dtype=jnp.int32)
+    best0 = jnp.zeros((n,), dtype=jnp.int32)
+    _, t_best, best = jax.lax.while_loop(cond, body, (node0, t_best0, best0))
+    return t_best, best
+
+
+# --------------------------------------------------------------------------
+# phase 2: hit details
+# --------------------------------------------------------------------------
+
+
+def _sphere_uv(n):
+    """Spherical uv from the outward unit normal (sphere.rs:30-34).
+
+    The clip stays strictly inside (-1, 1): arccos' diverges at the poles
+    and would poison gradients (float-identical result elsewhere).
+    """
+    theta = jnp.arccos(jnp.clip(-n[1], -1.0 + 1e-7, 1.0 - 1e-7))
+    phi = jnp.arctan2(-n[2], n[0]) + PI
+    return phi / (2.0 * PI), theta / PI
+
+
+def hit_details(
+    scene: SceneData,
+    o,
+    d,
+    tm,
+    t_best,
+    best,
+    hit_mask,
+) -> Hit:
+    """Reconstruct the full hit record for the winning primitive.
+
+    Gathers the winning prim's row per ray and evaluates the per-kind
+    normal/uv formulas masked on kind, all at O(N) (not O(N*P)).
+    """
+    p = scene.params[:, best]  # (16, N)
+    kind = scene.kind[best]
+    mat = scene.mat_id[best]
+    flip = scene.flip[best]
+
+    if scene.any_xform:
+        rot = scene.xf_rot[:, :, best]  # (3, 3, N)
+        trans = scene.xf_trans[:, best]
+        inv_s = scene.xf_inv_scale[best]
+        oo, od = _xform_rays(rot, trans, inv_s, o, d)
+    else:
+        oo, od = o, d
+
+    pt = oo + scale(od, t_best)  # object-space hit point
+
+    # --- per-kind outward normal + uv (object space) ---
+    # sphere / moving sphere (sphere.rs:58-66, 138-165)
+    c_static = vec3(p[0], p[1], p[2])
+    c_moving = _msphere_center(p, tm)
+    center = jnp.where(kind[None] == MSPHERE, c_moving, c_static)
+    n_sphere = (pt - center) / jnp.where(p[3] == 0.0, 1.0, p[3])[None]
+    u_sph, v_sph = _sphere_uv(n_sphere)
+
+    # rect (aarect.rs:58-66 et al.)
+    ka = p[5].astype(jnp.int32)
+    a_axis, b_axis = _rect_axes(ka)
+    av = _axis_select(pt, a_axis)
+    bv = _axis_select(pt, b_axis)
+    u_rect = safe_div(av - p[0], p[1] - p[0])
+    v_rect = safe_div(bv - p[2], p[3] - p[2])
+    zeros = jnp.zeros_like(t_best)
+    ones = jnp.ones_like(t_best)
+    n_rect = vec3(
+        jnp.where(ka == 0, ones, zeros),
+        jnp.where(ka == 1, ones, zeros),
+        jnp.where(ka == 2, ones, zeros),
+    )
+
+    # triangle (triangle.rs:51-72): flat normal + (beta, gamma) via 2x2 solve
+    ta = vec3(p[0], p[1], p[2])
+    tb = vec3(p[3], p[4], p[5])
+    tc = vec3(p[6], p[7], p[8])
+    tcr = cross(tb - ta, tc - ta)
+    tlen = jnp.sqrt(dot(tcr, tcr))
+    n_tri = tcr / jnp.where(tlen == 0.0, 1.0, tlen)[None]
+    a1 = ta[0] - tb[0]
+    b1 = ta[0] - tc[0]
+    c1 = ta[0] - pt[0]
+    a2 = ta[1] - tb[1]
+    b2 = ta[1] - tc[1]
+    c2 = ta[1] - pt[1]
+    det = a1 * b2 - b1 * a2
+    beta = safe_div(c1 * b2 - b1 * c2, det)
+    gamma = safe_div(a1 * c2 - a2 * c1, det)
+    # ObjTexture uv interpolation (texture/mod.rs:167-188)
+    alpha = 1.0 - beta - gamma
+    tex_u = p[9] * alpha + p[11] * beta + p[13] * gamma
+    tex_v = p[10] * alpha + p[12] * beta + p[14] * gamma
+
+    # ring (ring.rs:48-51)
+    n_ring = vec3(zeros, ones, zeros)
+
+    # medium (constantmedium.rs:69-76): arbitrary normal, front_face = true
+    n_med = vec3(ones, zeros, zeros)
+
+    k = kind[None]
+    outward = jnp.where(
+        k == RECT,
+        n_rect,
+        jnp.where(
+            k == TRIANGLE,
+            n_tri,
+            jnp.where(k == RING, n_ring, jnp.where(k == MEDIUM, n_med, n_sphere)),
+        ),
+    )
+    u = jnp.where(
+        kind == RECT,
+        u_rect,
+        jnp.where(kind == TRIANGLE, beta, jnp.where(kind <= MSPHERE, u_sph, zeros)),
+    )
+    v = jnp.where(
+        kind == RECT,
+        v_rect,
+        jnp.where(kind == TRIANGLE, gamma, jnp.where(kind <= MSPHERE, v_sph, zeros)),
+    )
+
+    # set_face_normal in the object frame (hittable/mod.rs:49-56); for a
+    # similarity transform the sign agrees with the world frame.  Mediums set
+    # front_face = true unconditionally (constantmedium.rs:69-76).
+    is_medium = kind == MEDIUM
+    front = (dot(od, outward) < 0.0) | is_medium
+    face_normal = jnp.where(front[None], outward, -outward)
+
+    # back to world space: n_w = R^T n_obj, p_w = R^T (p_obj * s) + trans
+    if scene.any_xform:
+        s = 1.0 / scene.xf_inv_scale[best]
+        p_world = _apply_rot_t(rot, pt * s[None]) + trans
+        n_world = _apply_rot_t(rot, face_normal)
+    else:
+        p_world = pt
+        n_world = face_normal
+
+    # FlipFace toggles front_face only (hittable/mod.rs:279-284)
+    front = front ^ flip
+
+    return Hit(
+        hit=hit_mask,
+        t=t_best,
+        prim=best,
+        p=p_world,
+        normal=n_world,
+        front=front,
+        u=u,
+        v=v,
+        tex_uv=jnp.stack([tex_u, tex_v], axis=0),
+        mat=mat,
+    )
+
+
+# --------------------------------------------------------------------------
+# unified closest hit
+# --------------------------------------------------------------------------
+
+
+def closest_hit(
+    scene: SceneData,
+    o,
+    d,
+    tm,
+    t_min,
+    t_max,
+    key,
+    leaf_size: int = 4,
+) -> Hit:
+    """Closest hit over the whole scene.
+
+    Small scenes: one fused brute-force O(N*P) pass (beats any traversal for
+    P up to a few hundred on the VPU).  Large scenes: BVH walk over the
+    reordered prefix + brute force over the loose tail (mediums, boundary
+    shadows), min-combined.
+    """
+    if scene.bvh is None:
+        t_all = candidate_t(scene, o, d, tm, t_min, t_max)
+        if scene.any_medium:
+            for med_prim, b_start, b_count in scene.stats.mediums:
+                tmed = _medium_t(scene, med_prim, b_start, b_count, o, d, tm, t_min, key)
+                tmed = jnp.where(tmed <= t_max, tmed, INF)
+                t_all = t_all.at[:, med_prim].set(tmed)
+        best = jnp.argmin(t_all, axis=1)
+        t_best = jnp.min(t_all, axis=1)
+    else:
+        n_bvh = scene.stats.n_in_bvh
+        t_best, best = traverse_bvh(scene, o, d, tm, t_min, t_max, leaf_size=leaf_size)
+        if n_bvh < scene.n_prims:
+            loose = slice(n_bvh, scene.n_prims)
+            t_loose = candidate_t(scene, o, d, tm, t_min, t_max, prim_slice=loose)
+            if scene.any_medium:
+                for med_prim, b_start, b_count in scene.stats.mediums:
+                    tmed = _medium_t(
+                        scene, med_prim, b_start, b_count, o, d, tm, t_min, key
+                    )
+                    tmed = jnp.where(tmed <= t_max, tmed, INF)
+                    t_loose = t_loose.at[:, med_prim - n_bvh].set(tmed)
+            tl_best = jnp.min(t_loose, axis=1)
+            l_best = jnp.argmin(t_loose, axis=1).astype(jnp.int32) + n_bvh
+            take_loose = tl_best < t_best
+            t_best = jnp.where(take_loose, tl_best, t_best)
+            best = jnp.where(take_loose, l_best, best)
+
+    hit_mask = jnp.isfinite(t_best)
+    safe_t = jnp.where(hit_mask, t_best, 1.0)
+    return hit_details(scene, o, d, tm, safe_t, best, hit_mask)

@@ -1,0 +1,157 @@
+"""Batched texture evaluation over the flat texture table.
+
+Replaces the reference's ``Texture`` trait objects
+(reference: raytracer/src/texture/mod.rs) with integer-id dispatch and
+masked evaluation.  Static per-scene ``features`` flags let XLA skip whole
+sub-evaluators (perlin / image gathers) for scenes that never use them.
+
+Vectors are component-leading (3, N); see ops.vecmath.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..scene.types import (
+    TEX_CHECKER,
+    TEX_IMAGE,
+    TEX_NOISE,
+    TEX_OBJUV,
+    TextureTable,
+)
+
+PI = math.pi
+
+
+def _hermite(x):
+    return x * x * (3.0 - 2.0 * x)
+
+
+def perlin_noise(tt: TextureTable, p: jnp.ndarray) -> jnp.ndarray:
+    """Perlin gradient noise (reference texture/perlin.rs:52-99).
+
+    Reproduces the reference exactly, including its double Hermite smoothing
+    quirk: ``noise()`` smooths (u,v,w) in place (perlin.rs:56-58) and
+    ``trilinear_interp`` smooths the already-smoothed values again for the
+    interpolation weights (perlin.rs:81-83) while using the single-smoothed
+    values in the gradient offset vectors (perlin.rs:90).
+    """
+    xs = p  # (3, N)
+    fl = jnp.floor(xs)
+    uvw1 = _hermite(xs - fl)  # single-smoothed (the reference's u,v,w)
+    uvw2 = _hermite(uvw1)  # double-smoothed weights (uu,vv,ww)
+    ijk = fl.astype(jnp.int32)  # (3, N)
+
+    accum = jnp.zeros_like(p[0])
+    for di in range(2):
+        for dj in range(2):
+            for dk in range(2):
+                idx = (
+                    tt.perlin_perm[0, (ijk[0] + di) & 255]
+                    ^ tt.perlin_perm[1, (ijk[1] + dj) & 255]
+                    ^ tt.perlin_perm[2, (ijk[2] + dk) & 255]
+                )
+                g = tt.perlin_vec[:, idx]  # (3, N)
+                w0 = uvw1[0] - di
+                w1 = uvw1[1] - dj
+                w2 = uvw1[2] - dk
+                grad_dot = g[0] * w0 + g[1] * w1 + g[2] * w2
+                wx = uvw2[0] if di else (1.0 - uvw2[0])
+                wy = uvw2[1] if dj else (1.0 - uvw2[1])
+                wz = uvw2[2] if dk else (1.0 - uvw2[2])
+                accum = accum + grad_dot * wx * wy * wz
+    return accum
+
+
+def perlin_turb(tt: TextureTable, p: jnp.ndarray, depth: int = 7) -> jnp.ndarray:
+    """Turbulence: |sum of 7 halved octaves| (perlin.rs:100-112)."""
+    accum = jnp.zeros_like(p[0])
+    tmp_p = p
+    weight = 1.0
+    for _ in range(depth):
+        accum = accum + weight * perlin_noise(tt, tmp_p)
+        weight *= 0.5
+        tmp_p = tmp_p * 2.0
+    return jnp.abs(accum)
+
+
+def _image_lookup(tt: TextureTable, img_id, i, j):
+    """Gather a texel (atlas rows are pre-v-flipped like the reference's
+    loader, texture/mod.rs:96-105). Returns (3, N) in [0, ~1]."""
+    h = tt.atlas_size[0, img_id]
+    w = tt.atlas_size[1, img_id]
+    i = jnp.clip(i, 0, w - 1)
+    j = jnp.clip(j, 0, h - 1)
+    texel = tt.atlas[img_id, :, j, i]  # (N, 3) after advanced indexing
+    if texel.ndim == 2 and texel.shape[-1] == 3:
+        texel = texel.T
+    color_scale = 1.0 / 255.999
+    return texel.astype(jnp.float32) * color_scale
+
+
+def _eval_image(tt: TextureTable, tid, u, v):
+    """ImageTexture nearest-neighbor sample (texture/mod.rs:111-138)."""
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    img_id = tt.img[tid]
+    w = tt.atlas_size[1, img_id]
+    h = tt.atlas_size[0, img_id]
+    i = (u * w.astype(jnp.float32)).astype(jnp.int32)
+    j = (v * h.astype(jnp.float32)).astype(jnp.int32)
+    return _image_lookup(tt, img_id, i, j)
+
+
+def _eval_objuv(tt: TextureTable, tid, tex_uv):
+    """ObjTexture sample (texture/mod.rs:167-188): uv already interpolated
+    from the triangle's per-vertex uvs in the hit record; this indexes from
+    the image TOP (j = (1-v)*H), so flip against our pre-flipped atlas."""
+    u = tex_uv[0]
+    v = tex_uv[1]
+    img_id = tt.img[tid]
+    w = tt.atlas_size[1, img_id]
+    h = tt.atlas_size[0, img_id]
+    i = (u * w.astype(jnp.float32)).astype(jnp.int32)
+    j_top = ((1.0 - v) * h.astype(jnp.float32)).astype(jnp.int32)
+    j_top = jnp.clip(j_top, 0, h - 1)
+    j = h - 1 - j_top  # atlas is stored bottom-up
+    return _image_lookup(tt, img_id, i, j)
+
+
+def _eval_basic(tt: TextureTable, tid, u, v, p, tex_uv, features: frozenset):
+    """Evaluate non-checker kinds for texture ids ``tid`` -> (3, N)."""
+    kind = tt.kind[tid]
+    value = tt.color[:, tid]  # TEX_SOLID (texture/mod.rs:26-28)
+    if "noise" in features:
+        # NoiseTexture marble (texture/mod.rs:76-78)
+        sc = tt.scale[tid]
+        noise_val = 0.5 * (1.0 + jnp.sin(sc * p[2] + 10.0 * perlin_turb(tt, p)))
+        value = jnp.where(kind[None] == TEX_NOISE, noise_val[None], value)
+    if "image" in features:
+        value = jnp.where(kind[None] == TEX_IMAGE, _eval_image(tt, tid, u, v), value)
+    if "objuv" in features:
+        value = jnp.where(kind[None] == TEX_OBJUV, _eval_objuv(tt, tid, tex_uv), value)
+    return value
+
+
+def eval_texture(
+    tt: TextureTable,
+    tid: jnp.ndarray,  # i32[N]
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    p: jnp.ndarray,  # (3, N)
+    tex_uv: jnp.ndarray,  # (2, N)
+    features: frozenset = frozenset(),
+) -> jnp.ndarray:
+    """Texture value for per-ray texture ids (Texture::value dispatch)."""
+    value = _eval_basic(tt, tid, u, v, p, tex_uv, features)
+    if "checker" in features:
+        # CheckerTexture sine-product select (texture/mod.rs:52-59).
+        # Sub-textures are solids (the only form the reference constructs).
+        sines = jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1]) * jnp.sin(10.0 * p[2])
+        odd = tt.color[:, tt.sub[0, tid]]
+        even = tt.color[:, tt.sub[1, tid]]
+        checker_val = jnp.where((sines < 0.0)[None], odd, even)
+        value = jnp.where(tt.kind[tid][None] == TEX_CHECKER, checker_val, value)
+    return value

@@ -1,0 +1,155 @@
+"""Multi-chip rendering over a ``jax.sharding.Mesh``.
+
+The reference's parallelism is 8 OS threads over shuffled image rows with a
+one-shot mpsc gather (reference: raytracer/src/main.rs:93-183).  The
+TPU-native equivalent (SURVEY.md §2 row 34): shard the *samples-per-pixel*
+axis across chips with ``shard_map`` — every chip traces an identical-shape
+(pixels x spp/n) wavefront (perfectly load-balanced by construction, no row
+shuffling needed) — and ``psum`` the radiance sums over ICI.  Scene and
+camera are replicated; the only collective is the final image reduction
+(and gradient all-reduce in the fit step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.camera import Camera
+from ..render.integrator import TraceConfig
+from ..render.renderer import RenderConfig, render_batch
+from ..scene.types import SceneData
+
+
+def make_device_mesh(devices=None, axis_name: str = "chips") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+
+
+def render_sharded_sum(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    axis_name: str = "chips",
+) -> jnp.ndarray:
+    """Full render with spp sharded over the mesh -> (3, H, W) radiance sum.
+
+    Each chip renders spp/n samples with a distinct fold of the seed, then
+    the partial sums are ``psum``-reduced (the mpsc gather of main.rs:171-183,
+    as one ICI collective).
+    """
+    n_chips = mesh.devices.size
+    assert cfg.spp % n_chips == 0, "spp must divide evenly over chips"
+    spp_local = cfg.spp // n_chips
+    tcfg = cfg.trace_cfg()
+
+    def shard_fn(scene, camera, key):
+        idx = jax.lax.axis_index(axis_name)
+        local_key = jax.random.fold_in(key, idx)
+        part = render_batch(
+            scene, camera, local_key, cfg.width, cfg.height, spp_local, tcfg
+        )
+        return jax.lax.psum(part, axis_name)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    return fn(scene, camera, key)
+
+
+def fit_step_fn(
+    cfg: RenderConfig,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "chips",
+    lr: float = 0.05,
+):
+    """Differentiable-fit train step factory (BASELINE north star config 5).
+
+    Returns ``step(scene, camera, target, key) -> (scene', camera', loss)``:
+    renders, takes MSE against a target image, backprops through the whole
+    bounce loop to the material/texture tables and camera, all-reduces the
+    gradients over the mesh (overlapped with backward by XLA), and applies
+    SGD.  With ``mesh=None`` runs single-chip.
+    """
+    tcfg = cfg.trace_cfg()
+
+    def loss_fn(scene, camera, target, key, spp):
+        img = render_batch(scene, camera, key, cfg.width, cfg.height, spp, tcfg)
+        img = img / float(spp)
+        return jnp.mean((img - target) ** 2)
+
+    grad_leaves = ("materials", "textures_color")
+
+    def split_params(scene: SceneData):
+        params = {
+            "mat_param": scene.materials.param,
+            "tex_color": scene.textures.color,
+        }
+        return params
+
+    def merge_params(scene: SceneData, params):
+        return scene.replace(
+            materials=scene.materials.replace(param=params["mat_param"]),
+            textures=scene.textures.replace(color=params["tex_color"]),
+        )
+
+    if mesh is None:
+
+        @jax.jit
+        def step(scene, camera, target, key):
+            def f(params, camera):
+                return loss_fn(merge_params(scene, params), camera, target, key, cfg.spp)
+
+            params = split_params(scene)
+            loss, grads = jax.value_and_grad(f, argnums=(0, 1))(params, camera)
+            gp, gc = grads
+            params = jax.tree.map(lambda p, g: p - lr * g, params, gp)
+            camera = jax.tree.map(lambda p, g: p - lr * g, camera, gc)
+            return merge_params(scene, params), camera, loss
+
+        return step
+
+    n_chips = mesh.devices.size
+    assert cfg.spp % n_chips == 0
+    spp_local = cfg.spp // n_chips
+
+    def shard_step(scene, camera, target, key):
+        idx = jax.lax.axis_index(axis_name)
+        local_key = jax.random.fold_in(key, idx)
+
+        def f(params, camera):
+            return loss_fn(
+                merge_params(scene, params), camera, target, local_key, spp_local
+            )
+
+        params = split_params(scene)
+        loss, grads = jax.value_and_grad(f, argnums=(0, 1))(params, camera)
+        # data-parallel gradient all-reduce over ICI (mean over chips)
+        loss = jax.lax.pmean(loss, axis_name)
+        grads = jax.lax.pmean(grads, axis_name)
+        gp, gc = grads
+        params = jax.tree.map(lambda p, g: p - lr * g, params, gp)
+        camera = jax.tree.map(lambda p, g: p - lr * g, camera, gc)
+        return merge_params(scene, params), camera, loss
+
+    return jax.jit(
+        jax.shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )

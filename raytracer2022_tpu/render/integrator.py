@@ -1,0 +1,173 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native re-architecture of the reference's recursive ``ray_color``
+(reference: raytracer/src/main.rs:233-278): the depth-50 recursion becomes a
+fixed-length ``lax.scan`` over live-ray SoA buffers with masking.  Per
+bounce: closest-hit -> emitted -> scatter -> mixture-PDF sample -> update
+throughput/radiance.  Accumulating ``radiance += throughput * emitted`` at
+each vertex is algebraically identical to the reference's recursive form.
+
+Faithful semantic details:
+  * specular branch returns ``attenuation * L(next)`` WITHOUT adding
+    emitted (main.rs:246-249) — we add emitted only on the diffuse and
+    absorb branches;
+  * mixture PDF = 50/50 light-list / cosine (pdf.rs:95-104), with the light
+    pdf's extra geometry queries (aarect.rs:74-83, sphere.rs:75-83);
+  * t_min = 0.001 (main.rs:243); scattered rays keep the incoming time
+    except metal which zeroes it (material/mod.rs:92);
+  * rays whose mixture pdf is 0 are killed with their radiance kept —
+    the reference produces a NaN sample there that blackens the whole pixel
+    at write_color (main.rs:284-292); killing is the sane equivalent and
+    differs only in rare pathological samples;
+  * scatter origins are offset along the face normal by a relative epsilon
+    (``spawn_eps``) because we run f32 where the reference runs f64 — with
+    eps=0 the behavior is exactly the reference's.
+
+The whole loop is differentiable w.r.t. material/texture tables and camera;
+discrete decisions (hit selection, specular branch choice, light pick) are
+naturally piecewise-constant, and sampling uses reparameterized directions,
+so autodiff yields the correct reparameterized path-replay gradients for
+continuous params.  ``jax.checkpoint`` on the bounce body keeps backward
+memory at O(one bounce).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intersect import closest_hit
+from ..ops.lights import lights_pdf, sample_lights
+from ..ops.materials import (
+    emitted,
+    is_lambertian,
+    scatter,
+    scattering_pdf_lambertian,
+)
+from ..ops.sampling import cos_pdf_value, cosine_about_normal
+from ..ops.vecmath import dot, scale, to_unit, vec3
+from ..scene.types import ISOTROPIC, SceneData
+
+
+class TraceConfig(NamedTuple):
+    max_depth: int = 50
+    background: Optional[tuple] = (0.0, 0.0, 0.0)  # None => book1/2 sky gradient
+    t_min: float = 1e-3
+    spawn_eps: float = 1e-4  # relative origin offset (f32 robustness); 0 = off
+    russian_roulette: bool = False  # capability beyond the reference
+    unroll: bool = False  # python-loop the bounces (debugging / small depths)
+
+
+def _background(cfg: TraceConfig, d):
+    if cfg.background is not None:
+        c = jnp.asarray(cfg.background, dtype=jnp.float32)
+        return jnp.broadcast_to(c[:, None], d.shape)
+    # classic RTiOW sky gradient used by the book1/book2 golden images
+    unit_d = to_unit(d)
+    tt = 0.5 * (unit_d[1] + 1.0)
+    white = vec3(jnp.ones_like(tt), jnp.ones_like(tt), jnp.ones_like(tt))
+    blue = vec3(0.5 * jnp.ones_like(tt), 0.7 * jnp.ones_like(tt), jnp.ones_like(tt))
+    return scale(white, 1.0 - tt) + scale(blue, tt)
+
+
+def trace(
+    scene: SceneData,
+    o: jnp.ndarray,  # (3, N)
+    d: jnp.ndarray,  # (3, N)
+    tm: jnp.ndarray,  # (N,)
+    key,
+    cfg: TraceConfig,
+) -> jnp.ndarray:
+    """Trace a wavefront to completion -> radiance (3, N)."""
+    n = tm.shape[0]
+    features = scene.stats.features
+    has_lights = len(scene.stats.light_ids) > 0
+
+    def bounce(carry, bounce_key):
+        o, d, tm, throughput, radiance, alive = carry
+        k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
+
+        hit = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
+        em = emitted(scene.materials, scene.textures, hit, features)
+        sc = scatter(scene.materials, scene.textures, hit, d, tm, k_scatter, features)
+
+        # --- diffuse branch: 50/50 mixture of light-sample and cosine
+        # (main.rs:263-266, pdf.rs:95-104)
+        cos_dir = cosine_about_normal(k_cos, hit.normal)
+        if has_lights:
+            light_dir = sample_lights(scene, hit.p, k_light)
+            pick_light = jax.random.uniform(k_mix, (n,)) < 0.5
+            new_dir = jnp.where(pick_light[None], light_dir, cos_dir)
+            pdf_val = 0.5 * lights_pdf(scene, hit.p, new_dir, tm) + 0.5 * cos_pdf_value(
+                new_dir, to_unit(hit.normal)
+            )
+        else:
+            # lightless configs (book1/book2): pure cosine importance
+            # sampling — the books' original integrator; the frozen
+            # reference main cannot render these scenes at all (empty
+            # lights list panics), see SURVEY.md §7 step 5.
+            new_dir = cos_dir
+            pdf_val = cos_pdf_value(new_dir, to_unit(hit.normal))
+
+        spdf = scattering_pdf_lambertian(hit.normal, new_dir)
+        lamb = is_lambertian(scene.materials, hit.mat)
+
+        # --- classify
+        miss = alive & ~hit.hit
+        absorb = alive & hit.hit & ~sc.has_scatter
+        specular = alive & hit.hit & sc.has_scatter & sc.is_specular
+        diffuse = alive & hit.hit & sc.has_scatter & ~sc.is_specular & lamb
+        # pdf <= 0 or NaN (the reference gets a NaN sample that blackens the
+        # whole pixel at write_color; we kill the sample, keeping its
+        # radiance so far — see module docstring)
+        pdf_ok = pdf_val > 0.0  # NaN compares False
+        diffuse = diffuse & pdf_ok
+
+        # --- radiance: background on miss; emitted on absorb/diffuse
+        radiance = radiance + jnp.where(miss[None], throughput * _background(cfg, d), 0.0)
+        radiance = radiance + jnp.where((absorb | diffuse)[None], throughput * em, 0.0)
+
+        # --- throughput update (safe divisor on non-diffuse lanes)
+        w_diffuse = sc.attenuation * (spdf / jnp.where(diffuse & pdf_ok, pdf_val, 1.0))[None]
+        throughput = jnp.where(
+            specular[None],
+            throughput * sc.attenuation,
+            jnp.where(diffuse[None], throughput * w_diffuse, throughput),
+        )
+
+        # --- next ray
+        next_dir = jnp.where(specular[None], sc.spec_dir, new_dir)
+        next_tm = jnp.where(specular, sc.spec_time, tm)
+        # origin offset along the face normal, signed toward the outgoing
+        # side; skipped for medium scatters (their "normal" is synthetic)
+        if cfg.spawn_eps > 0.0:
+            is_surface = scene.materials.kind[hit.mat] != ISOTROPIC
+            eps = cfg.spawn_eps * jnp.maximum(
+                1.0, jnp.max(jnp.abs(hit.p), axis=0)
+            )
+            side = jnp.sign(dot(hit.normal, next_dir))
+            offset = scale(hit.normal, eps * side * is_surface.astype(jnp.float32))
+            new_o = hit.p + offset
+        else:
+            new_o = hit.p
+        cont = specular | diffuse
+        o_out = jnp.where(cont[None], new_o, o)
+        d_out = jnp.where(cont[None], next_dir, d)
+        tm_out = jnp.where(cont, next_tm, tm)
+        alive = cont
+
+        return (o_out, d_out, tm_out, throughput, radiance, alive), None
+
+    zeros3 = jnp.zeros((3, n))
+    carry = (o, d, tm, jnp.ones((3, n)), zeros3, jnp.ones((n,), dtype=bool))
+    bounce_keys = jax.random.split(key, cfg.max_depth)
+    if cfg.unroll:
+        for i in range(cfg.max_depth):
+            carry, _ = bounce(carry, bounce_keys[i])
+    else:
+        carry, _ = jax.lax.scan(jax.checkpoint(bounce), carry, bounce_keys)
+    _, _, _, _, radiance, _ = carry
+    return radiance

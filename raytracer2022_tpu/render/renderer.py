@@ -1,0 +1,107 @@
+"""High-level renderer: config, sample batching, jit cache.
+
+Replaces the reference driver (raytracer/src/main.rs:28-231).  The
+reference's parallelism — 8 OS threads over shuffled image rows — becomes a
+single jitted wavefront over (pixels x samples), optionally batched over
+samples on the host to bound device memory, and sharded across chips by
+:mod:`raytracer2022_tpu.parallel` (no shuffling needed: every chip gets an
+identical-size (tile, spp) slab, which self-balances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import SceneData
+from .camera import Camera, get_rays
+from .film import tonemap_u8
+from .integrator import TraceConfig, trace
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render settings (the reference hard-codes these, main.rs:33-51)."""
+
+    width: int = 400
+    height: int = 225
+    spp: int = 100
+    max_depth: int = 50
+    background: Optional[tuple] = (0.0, 0.0, 0.0)  # None => sky gradient
+    seed: int = 0
+    t_min: float = 1e-3
+    spawn_eps: float = 1e-4
+    spp_per_batch: int = 0  # 0 = all samples in one device launch
+
+    def trace_cfg(self) -> TraceConfig:
+        return TraceConfig(
+            max_depth=self.max_depth,
+            background=self.background,
+            t_min=self.t_min,
+            spawn_eps=self.spawn_eps,
+        )
+
+
+def render_batch(
+    scene: SceneData,
+    camera: Camera,
+    key,
+    width: int,
+    height: int,
+    spp: int,
+    cfg: TraceConfig,
+) -> jnp.ndarray:
+    """One device launch: (3, H, W) radiance SUM over ``spp`` samples.
+
+    Pixel (x, y) uses u = (x + U)/(W-1), v = (y + U)/(H-1) exactly like the
+    render loop (main.rs:144-148).
+    """
+    n = height * width * spp
+    ys = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width * spp)
+    xs = jnp.tile(jnp.repeat(jnp.arange(width, dtype=jnp.float32), spp), height)
+
+    k_u, k_v, k_cam, k_trace = jax.random.split(key, 4)
+    u = (xs + jax.random.uniform(k_u, (n,))) / (width - 1)
+    v = (ys + jax.random.uniform(k_v, (n,))) / (height - 1)
+
+    o, d, tm = get_rays(camera, u, v, k_cam)
+    radiance = trace(scene, o, d, tm, k_trace, cfg)  # (3, N)
+    return jnp.sum(radiance.reshape(3, height, width, spp), axis=3)
+
+
+_render_batch_jit = jax.jit(
+    render_batch, static_argnames=("width", "height", "spp", "cfg")
+)
+
+
+def render_sum(scene: SceneData, camera: Camera, cfg: RenderConfig) -> jnp.ndarray:
+    """Full render -> (3, H, W) radiance sum over cfg.spp samples."""
+    key = jax.random.PRNGKey(cfg.seed)
+    tcfg = cfg.trace_cfg()
+    batch = cfg.spp_per_batch or cfg.spp
+    total = jnp.zeros((3, cfg.height, cfg.width))
+    done = 0
+    i = 0
+    while done < cfg.spp:
+        this = min(batch, cfg.spp - done)
+        total = total + _render_batch_jit(
+            scene,
+            camera,
+            jax.random.fold_in(key, i),
+            width=cfg.width,
+            height=cfg.height,
+            spp=this,
+            cfg=tcfg,
+        )
+        done += this
+        i += 1
+    return total
+
+
+def render(scene: SceneData, camera: Camera, cfg: RenderConfig):
+    """Full render -> u8[H, W, 3] tone-mapped image."""
+    return tonemap_u8(render_sum(scene, camera, cfg), cfg.spp)

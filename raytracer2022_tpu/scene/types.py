@@ -1,0 +1,182 @@
+"""Compiled flat SoA scene representation.
+
+The reference scene is a tree of ``Arc<dyn Hittable>`` trait objects
+(reference: raytracer/src/hittable/mod.rs:59-133).  Dynamic dispatch and
+pointer chasing do not exist on a TPU; instead the scene *compiler*
+(:mod:`raytracer2022_tpu.scene.builder`) lowers every hittable into rows of
+flat device arrays, and dispatch happens by integer ``kind`` with masked
+vectorized evaluation.
+
+Layout conventions (TPU-first):
+  * All per-primitive arrays are **field-leading**: ``params[j]`` is a
+    ``[P]``-shaped lane-tiled array, never ``[P, 16]``.
+  * Vectors are component-leading ``(3, ...)`` (see ``ops.vecmath``).
+
+Primitive param slots (``params: f32[NPARAM, P]``):
+
+  SPHERE   (sphere.rs:11-91)       0:cx 1:cy 2:cz 3:radius
+  MSPHERE  (sphere.rs:93-178)      0:c0x 1:c0y 2:c0z 3:radius 4:c1x 5:c1y
+                                   6:c1z 7:time0 8:time1
+  RECT     (aarect.rs, unified)    0:a0 1:a1 2:b0 3:b1 4:k 5:const-axis
+                                   (axis 2 = XYRect, 1 = XZRect, 0 = YZRect)
+  TRIANGLE (triangle.rs)           0-8: vertices a,b,c; 9-14: per-vertex
+                                   (u,v) pairs for ObjTexture; 15: has_uv
+  RING     (ring.rs)               0:r 1:t 2:dist_min 3:dist_max (squared)
+  MEDIUM   (constantmedium.rs)     0:neg_inv_density;
+                                   iparams 0:boundary_start 1:boundary_count
+
+Instance wrappers ``Translate/RotateY/Zoom/FlipFace``
+(hittable/mod.rs:135-331) are baked per primitive: either directly into the
+geometry params (spheres/triangles under any similarity transform) or into a
+per-primitive world->object similarity ``(rot, inv_scale, trans)`` plus a
+``flip`` bit.  Note the reference's ``Zoom`` scales only the ray origin
+(mod.rs:321-330); per SURVEY.md §2 row 15 we implement the intended
+capability — a proper uniform-scale similarity transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+
+# Primitive kinds
+SPHERE = 0
+MSPHERE = 1
+RECT = 2
+TRIANGLE = 3
+RING = 4
+MEDIUM = 5
+
+NPARAM = 16
+
+# Material kinds (reference material/mod.rs)
+LAMBERTIAN = 0
+METAL = 1
+DIELECTRIC = 2
+DIFFUSE_LIGHT = 3
+ISOTROPIC = 4
+
+# Texture kinds (reference texture/mod.rs)
+TEX_SOLID = 0
+TEX_CHECKER = 1
+TEX_NOISE = 2
+TEX_IMAGE = 3
+TEX_OBJUV = 4
+
+
+@flax.struct.dataclass
+class TextureTable:
+    """Flat texture table (reference texture/mod.rs traits -> integer ids).
+
+    ``color`` doubles as the solid color / emission value and is a
+    differentiable leaf.  ``sub`` holds the checker odd/even sub-texture ids
+    (sub-textures must be solids — the only form the reference ever builds,
+    texture/mod.rs:40-48).  ``atlas`` is a padded stack of images
+    ``u8[I, 3, H, W]`` with per-image sizes for clamping.
+    """
+
+    kind: jnp.ndarray  # i32[T]
+    color: jnp.ndarray  # f32[3, T] (differentiable)
+    sub: jnp.ndarray  # i32[2, T] checker (odd, even)
+    scale: jnp.ndarray  # f32[T] noise scale
+    img: jnp.ndarray  # i32[T] atlas index
+    atlas: jnp.ndarray  # u8[I, 3, Hmax, Wmax]
+    atlas_size: jnp.ndarray  # i32[2, I] (h, w)
+    perlin_vec: jnp.ndarray  # f32[3, 256] unit gradient vectors (perlin.rs:17-31)
+    perlin_perm: jnp.ndarray  # i32[3, 256] shuffled permutations (perlin.rs:33-48)
+
+
+@flax.struct.dataclass
+class MaterialTable:
+    """Flat material table (reference material/mod.rs:15-25).
+
+    ``param`` is fuzz for METAL (clamped <= 1 at build), ir for DIELECTRIC;
+    differentiable leaf.
+    """
+
+    kind: jnp.ndarray  # i32[M]
+    tex: jnp.ndarray  # i32[M] albedo / emission texture id
+    param: jnp.ndarray  # f32[M] (differentiable)
+
+
+@flax.struct.dataclass
+class BvhArrays:
+    """Flattened BVH in preorder with skip links (stackless traversal).
+
+    Replaces the reference's ``Arc<dyn Hittable>`` node tree
+    (bvh/mod.rs:12-15).  Node ``i``: on AABB hit continue to ``i+1`` (its
+    first child / its own leaf prims), on miss jump to ``skip[i]``.  Leaves
+    own the contiguous prim range ``[leaf_start, leaf_start + leaf_count)``
+    in the (builder-reordered) primitive arrays.
+    """
+
+    bmin: jnp.ndarray  # f32[3, Nn]
+    bmax: jnp.ndarray  # f32[3, Nn]
+    leaf_start: jnp.ndarray  # i32[Nn]
+    leaf_count: jnp.ndarray  # i32[Nn] (0 for internal nodes)
+    skip: jnp.ndarray  # i32[Nn]
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStats:
+    """Static (hashable, non-traced) per-scene metadata.
+
+    ``mediums``: tuple of (medium_prim_id, boundary_start, boundary_count);
+    ``features``: which texture kinds the scene uses (lets XLA skip dead
+    evaluators); ``light_ids``: concrete light prim ids for unrolled light
+    sampling loops.
+    """
+
+    mediums: Tuple[Tuple[int, int, int], ...] = ()
+    features: frozenset = frozenset()
+    light_ids: Tuple[int, ...] = ()
+    light_kinds: Tuple[int, ...] = ()
+    light_axes: Tuple[int, ...] = ()  # rect constant axis per light (0 otherwise)
+    n_in_bvh: int = 0
+    time0: float = 0.0
+    time1: float = 1.0
+
+
+@flax.struct.dataclass
+class SceneData:
+    """The complete compiled scene: geometry + shading tables + lights."""
+
+    # Geometry (P primitives, including inactive medium-boundary rows)
+    kind: jnp.ndarray  # i32[P]
+    params: jnp.ndarray  # f32[NPARAM, P]
+    iparams: jnp.ndarray  # i32[2, P]
+    mat_id: jnp.ndarray  # i32[P]
+    flip: jnp.ndarray  # bool[P]  (FlipFace, hittable/mod.rs:267-292)
+    active: jnp.ndarray  # bool[P] (False for medium boundary shadow prims)
+
+    # Per-primitive world->object similarity transform
+    xf_rot: jnp.ndarray  # f32[3, 3, P]
+    xf_inv_scale: jnp.ndarray  # f32[P]
+    xf_trans: jnp.ndarray  # f32[3, P]
+
+    materials: MaterialTable
+    textures: TextureTable
+
+    lights: jnp.ndarray  # i32[L] prim ids used for light sampling (may be empty)
+
+    bvh: Optional[BvhArrays] = None
+
+    # Static (non-traced) metadata
+    any_xform: bool = flax.struct.field(pytree_node=False, default=False)
+    any_medium: bool = flax.struct.field(pytree_node=False, default=False)
+    stats: SceneStats = flax.struct.field(pytree_node=False, default=SceneStats())
+
+    @property
+    def n_prims(self) -> int:
+        return self.kind.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.lights.shape[0]
+
+    @property
+    def use_bvh(self) -> bool:
+        return self.bvh is not None

@@ -1,0 +1,102 @@
+"""Finite-difference gradient checks (BASELINE north star: pixel gradients
+w.r.t. albedo/emission/camera must pass FD)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracer2022_tpu import TraceConfig, make_camera
+from raytracer2022_tpu.render.renderer import render_batch
+from raytracer2022_tpu.scene.builder import SceneBuilder
+
+KEY = jax.random.PRNGKey(3)
+
+
+def _mini_cornell():
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3.9, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0.0, b.lambertian((0.6, 0.4, 0.3)))
+    b.sphere((0, 1, 0), 1, b.lambertian((0.3, 0.5, 0.7)))
+    return b.finalize()
+
+
+def _loss_fn(scene, cam, cfg, spp=32):
+    img = render_batch(scene, cam, KEY, 12, 12, spp, cfg)
+    return jnp.mean(img) / spp
+
+
+def test_albedo_gradient_finite_difference():
+    scene = _mini_cornell()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
+
+    def f(color_table):
+        return _loss_fn(scene.replace(textures=scene.textures.replace(color=color_table)), cam, cfg)
+
+    c0 = scene.textures.color
+    g = jax.grad(f)(c0)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    # FD check on the floor albedo's red channel (texture id of floor mat)
+    floor_tex = int(scene.materials.tex[int(scene.mat_id[1])])
+    eps = 1e-2
+    e = jnp.zeros_like(c0).at[0, floor_tex].set(eps)
+    fd = (f(c0 + e) - f(c0 - e)) / (2 * eps)
+    # same RNG -> correlated estimates; FD of the piecewise-linear estimator
+    # matches autodiff tightly
+    np.testing.assert_allclose(g[0, floor_tex], float(fd), rtol=2e-2, atol=1e-5)
+    assert g[0, floor_tex] > 0  # brighter floor -> brighter image
+
+
+def test_emission_gradient_finite_difference():
+    scene = _mini_cornell()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
+    light_tex = int(scene.materials.tex[int(scene.mat_id[0])])
+
+    def f(color_table):
+        return _loss_fn(scene.replace(textures=scene.textures.replace(color=color_table)), cam, cfg)
+
+    c0 = scene.textures.color
+    g = np.asarray(jax.grad(f)(c0))
+    eps = 1e-1
+    e = jnp.zeros_like(c0).at[1, light_tex].set(eps)
+    fd = (f(c0 + e) - f(c0 - e)) / (2 * eps)
+    np.testing.assert_allclose(g[1, light_tex], float(fd), rtol=2e-2, atol=1e-6)
+    assert g[1, light_tex] > 0  # brighter light -> brighter image
+
+
+def test_camera_gradient_is_finite_and_nonzero():
+    scene = _mini_cornell()
+    cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
+
+    def f(lookfrom_y):
+        cam = make_camera((0.0, lookfrom_y, -8.0), (0, 1, 0), (0, 1, 0), 40, 1.0)
+        return _loss_fn(scene, cam, cfg, spp=16)
+
+    g = jax.grad(f)(2.0)
+    assert np.isfinite(float(g))
+    # moving the camera changes the image
+    assert abs(float(g)) > 1e-6
+
+
+def test_fuzz_ir_gradients_flow():
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3.9, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0.0, b.lambertian((0.6, 0.6, 0.6)))
+    b.sphere((0, 1, 0), 1, b.metal((0.9, 0.9, 0.9), 0.2))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
+
+    def f(param):
+        return _loss_fn(scene.replace(materials=scene.materials.replace(param=param)), cam, cfg)
+
+    g = np.asarray(jax.grad(f)(scene.materials.param))
+    assert np.isfinite(g).all()
+    # the metal's fuzz parameter perturbs reflected dirs -> nonzero grad
+    assert abs(g[int(scene.mat_id[2])]) > 0

@@ -1,0 +1,127 @@
+"""Integrator semantics: energy conservation, emission, MIS consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracer2022_tpu import RenderConfig, TraceConfig, make_camera, trace
+from raytracer2022_tpu.render.renderer import render_batch, render_sum
+from raytracer2022_tpu.scene.builder import SceneBuilder
+
+KEY = jax.random.PRNGKey(11)
+
+
+def _fire(scene, cfg, n=2048, origin=(0, 2, -6), target=(0, 0, 0), key=KEY):
+    o = np.tile(np.asarray(origin, dtype=np.float32)[:, None], (1, n))
+    t = np.asarray(target, dtype=np.float32)[:, None]
+    d = (t - o).astype(np.float32)
+    tm = np.zeros(n, dtype=np.float32)
+    return trace(scene, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), key, cfg)
+
+
+def test_miss_returns_background():
+    b = SceneBuilder()
+    b.sphere((100, 0, 0), 1, b.lambertian((0.5, 0.5, 0.5)))
+    scene = b.finalize()
+    cfg = TraceConfig(max_depth=4, background=(0.25, 0.5, 0.75))
+    rad = np.asarray(_fire(scene, cfg, n=8, target=(0, 100, 0)))
+    np.testing.assert_allclose(rad, np.array([[0.25], [0.5], [0.75]]) * np.ones((3, 8)), rtol=1e-5)
+
+
+def test_sky_gradient_background():
+    b = SceneBuilder()
+    b.sphere((1000, 0, 0), 1, b.lambertian((0.5, 0.5, 0.5)))
+    scene = b.finalize()
+    cfg = TraceConfig(max_depth=2, background=None)
+    # straight up: t=1 -> (0.5, 0.7, 1.0)
+    rad = np.asarray(_fire(scene, cfg, n=4, origin=(0, 0, 0), target=(0, 10, 0)))
+    np.testing.assert_allclose(rad[:, 0], [0.5, 0.7, 1.0], rtol=1e-4)
+
+
+def test_light_emission_direct():
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 2.0, b.diffuse_light((5.0, 5.0, 5.0)))
+    b.add_light(light)
+    scene = b.finalize()
+    cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
+    # looking DOWN at the light (its +y normal faces us: front) -> (5,5,5)
+    rad = np.asarray(_fire(scene, cfg, n=8, origin=(0, 4, 0), target=(0, 0, 0)))
+    np.testing.assert_allclose(rad, 5.0, rtol=1e-5)
+    # from below it is a back face: black (the reason Cornell's light is
+    # FlipFace-wrapped, scene.rs:171-173)
+    rad = np.asarray(_fire(scene, cfg, n=8, origin=(0, 0, 0), target=(0, 4, 0)))
+    np.testing.assert_allclose(rad, 0.0, atol=1e-7)
+
+
+def test_furnace_closed_box_converges_to_emission():
+    """A lambertian plate under a large emitter: radiance = E * albedo *
+    (fraction of hemisphere covered).  With an enclosing emissive sphere the
+    furnace result is exactly E * albedo."""
+    b = SceneBuilder()
+    # big emissive sphere; seen from inside it is a back face, so FlipFace
+    # makes it emit inward (the reference's one-sided-light mechanism)
+    dome = b.sphere((0, 0, 0), 100, b.diffuse_light((2.0, 2.0, 2.0)))
+    b.flip_face(dome)
+    b.sphere((0, -1005, 0), 1000, b.lambertian((0.5, 0.5, 0.5)))  # floor plate below
+    scene = b.finalize()
+    cfg = TraceConfig(max_depth=16, background=(0.0, 0.0, 0.0))
+    # hit the plate, bounce once, everything escapes to the emitter:
+    # L = 2.0 * 0.5 = 1.0 (one diffuse bounce), cosine sampling makes the
+    # estimator exact per-sample only in expectation
+    rad = np.asarray(_fire(scene, cfg, n=8192, origin=(0, 0, 0), target=(0, -5, 0), key=KEY))
+    mean = rad.mean(axis=1)
+    np.testing.assert_allclose(mean, 1.0, rtol=0.05)
+
+
+def test_mis_and_cosine_only_agree_on_unshadowed_plate():
+    """MIS (with lights list) and cosine-only must estimate the same
+    integral: direct lighting of a plate by a rect light."""
+    b1 = SceneBuilder()
+    light = b1.rect_xz(-2, 2, -2, 2, 8.0, b1.diffuse_light((10.0, 10.0, 10.0)))
+    b1.flip_face(light)
+    b1.add_light(light)
+    b1.rect_xz(-50, 50, -50, 50, 0.0, b1.lambertian((0.7, 0.7, 0.7)))
+    s_mis = b1.finalize()
+
+    b2 = SceneBuilder()
+    light2 = b2.rect_xz(-2, 2, -2, 2, 8.0, b2.diffuse_light((10.0, 10.0, 10.0)))
+    b2.flip_face(light2)
+    b2.rect_xz(-50, 50, -50, 50, 0.0, b2.lambertian((0.7, 0.7, 0.7)))
+    s_cos = b2.finalize()
+    assert len(s_mis.stats.light_ids) == 1 and len(s_cos.stats.light_ids) == 0
+
+    cfg = TraceConfig(max_depth=8, background=(0.0, 0.0, 0.0))
+    n = 8192
+    r_mis = np.asarray(_fire(s_mis, cfg, n=n, origin=(0, 3, -6), target=(0, 0, 0), key=jax.random.PRNGKey(1)))
+    r_cos = np.asarray(_fire(s_cos, cfg, n=n, origin=(0, 3, -6), target=(0, 0, 0), key=jax.random.PRNGKey(2)))
+    m_mis = r_mis.mean(axis=1)
+    m_cos = r_cos.mean(axis=1)
+    # same expectation within MC error; MIS should also have lower variance
+    np.testing.assert_allclose(m_mis, m_cos, rtol=0.1)
+    assert r_mis.var() < r_cos.var()
+
+
+def test_render_batch_shapes_and_determinism():
+    b = SceneBuilder()
+    b.sphere((0, 0, -3), 1, b.lambertian((0.5, 0.2, 0.2)))
+    scene = b.finalize()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0)
+    cfg = TraceConfig(max_depth=4, background=None)
+    img1 = render_batch(scene, cam, KEY, 16, 16, 4, cfg)
+    img2 = render_batch(scene, cam, KEY, 16, 16, 4, cfg)
+    assert img1.shape == (3, 16, 16)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_render_sum_batching_invariance():
+    """Sample batching must not change the result beyond key folding."""
+    b = SceneBuilder()
+    b.sphere((0, 0, -3), 1, b.lambertian((0.5, 0.2, 0.2)))
+    scene = b.finalize()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0)
+    cfg_a = RenderConfig(width=12, height=12, spp=8, max_depth=4, background=None)
+    cfg_b = RenderConfig(width=12, height=12, spp=8, max_depth=4, background=None, spp_per_batch=4)
+    a = np.asarray(render_sum(scene, cam, cfg_a)) / 8
+    bsum = np.asarray(render_sum(scene, cam, cfg_b)) / 8
+    # different RNG partitioning -> only statistically equal
+    assert np.abs(a - bsum).mean() < 0.15

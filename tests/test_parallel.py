@@ -1,0 +1,49 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracer2022_tpu import RenderConfig, make_camera
+from raytracer2022_tpu.parallel.mesh import fit_step_fn, make_device_mesh, render_sharded_sum
+from raytracer2022_tpu.render.renderer import render_sum
+from raytracer2022_tpu.scene.builder import SceneBuilder
+
+
+def _scene():
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3.9, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0.0, b.lambertian((0.6, 0.4, 0.3)))
+    return b.finalize()
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_chip_statistically():
+    scene = _scene()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = RenderConfig(width=12, height=12, spp=16, max_depth=4, background=(0, 0, 0))
+    mesh = make_device_mesh()
+    sharded = np.asarray(render_sharded_sum(scene, cam, cfg, mesh)) / cfg.spp
+    single = np.asarray(render_sum(scene, cam, cfg)) / cfg.spp
+    assert sharded.shape == single.shape == (3, 12, 12)
+    # different RNG streams -> statistical agreement only
+    assert np.abs(sharded - single).mean() < 0.2
+
+
+def test_fit_step_runs_and_reduces_loss_direction():
+    scene = _scene()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = RenderConfig(width=8, height=8, spp=8, max_depth=4, background=(0, 0, 0))
+    mesh = make_device_mesh()
+    step = fit_step_fn(cfg, mesh=mesh, lr=0.1)
+    target = jnp.zeros((3, 8, 8))
+    s1, c1, loss1 = step(scene, cam, target, jax.random.PRNGKey(0))
+    s2, c2, loss2 = step(s1, c1, target, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    # fitting toward black must dim the light emission
+    assert float(s2.textures.color.sum()) < float(scene.textures.color.sum())

@@ -15,8 +15,16 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+try:  # persistent compile cache across bench runs
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/rt2022_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from raytracer2022_tpu import RenderConfig, make_camera
 from raytracer2022_tpu.render.renderer import render_batch

@@ -65,6 +65,11 @@ def main(argv=None) -> int:
 
     import jax
 
+    try:  # persistent compile cache: repeated CLI renders skip XLA compiles
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/rt2022_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     n_dev = len(jax.devices())
     log.stage(2, f"{n_dev} device(s)")
     t0 = time.perf_counter()

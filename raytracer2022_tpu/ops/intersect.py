@@ -176,29 +176,37 @@ def _ring_t(p, o, d, t_min, t_max):
     return jnp.where(valid, t, INF)
 
 
-def _t_switch(kind, p, o, d, tm, t_min, t_max):
-    """Masked evaluation of all kinds, selected by integer ``kind``.
-
-    MEDIUM rows yield +inf here; they are resolved by ``_medium_t``.
-    """
-    t_sph = _sphere_t(vec3(p[0], p[1], p[2]), p[3], o, d, t_min, t_max)
-    t_msp = _sphere_t(_msphere_center(p, tm), p[3], o, d, t_min, t_max)
-    t_rect = _rect_t(p, o, d, t_min, t_max)
-    t_tri = _tri_t(p, o, d, t_min, t_max)
-    t_ring = _ring_t(p, o, d, t_min, t_max)
-    return jnp.where(
-        kind == SPHERE,
-        t_sph,
-        jnp.where(
-            kind == MSPHERE,
-            t_msp,
-            jnp.where(
-                kind == RECT,
-                t_rect,
-                jnp.where(kind == TRIANGLE, t_tri, jnp.where(kind == RING, t_ring, INF)),
-            ),
-        ),
+def _t_for_kind(k: int, p, o, d, tm, t_min, t_max):
+    """Single-kind candidate t (k is a static Python int)."""
+    if k == SPHERE:
+        return _sphere_t(vec3(p[0], p[1], p[2]), p[3], o, d, t_min, t_max)
+    if k == MSPHERE:
+        return _sphere_t(_msphere_center(p, tm), p[3], o, d, t_min, t_max)
+    if k == RECT:
+        return _rect_t(p, o, d, t_min, t_max)
+    if k == TRIANGLE:
+        return _tri_t(p, o, d, t_min, t_max)
+    if k == RING:
+        return _ring_t(p, o, d, t_min, t_max)
+    # MEDIUM rows yield +inf here; they are resolved by ``_medium_t``
+    return jnp.broadcast_to(
+        INF, jnp.broadcast_shapes(o.shape[1:], jnp.shape(t_min), jnp.shape(t_max))
     )
+
+
+def _t_switch(kind, p, o, d, tm, t_min, t_max, kinds=None):
+    """Masked evaluation selected by integer ``kind``.
+
+    ``kinds`` (static) lists the kinds that can actually occur — absent
+    kinds cost nothing (the scene compiler records scene.stats.kinds_present
+    so e.g. a rect-only Cornell box never evaluates sphere/triangle math).
+    """
+    kinds = [k for k in (kinds or (SPHERE, MSPHERE, RECT, TRIANGLE, RING)) if k != MEDIUM]
+    shape = jnp.broadcast_shapes(jnp.shape(kind), o.shape[1:])
+    t = jnp.broadcast_to(INF, shape)
+    for k in kinds:
+        t = jnp.where(kind == k, _t_for_kind(k, p, o, d, tm, t_min, t_max), t)
+    return t
 
 
 # --------------------------------------------------------------------------
@@ -250,21 +258,14 @@ def candidate_t(
     prim_slice: Optional[slice] = None,
     include_inactive: bool = False,
 ) -> jnp.ndarray:
-    """Candidate hit t for every (ray, prim) pair -> f32[N, P]."""
-    sl = prim_slice if prim_slice is not None else slice(None)
-    kind = scene.kind[sl]
-    p = scene.params[:, sl][:, None, :]  # (16, 1, P)
+    """Candidate hit t for every (ray, prim) pair -> f32[N, P_slice].
 
-    ob = o[:, :, None]  # (3, N, 1)
-    db = d[:, :, None]
-    if scene.any_xform:
-        ob, db = _xform_rays(
-            scene.xf_rot[:, :, None, sl],
-            scene.xf_trans[:, None, sl],
-            scene.xf_inv_scale[None, sl],
-            ob,
-            db,
-        )
+    When the requested window is covered by the compiler's homogeneous
+    ``kind_ranges``, each sub-window runs exactly ONE intersection formula
+    (no masked switch): the dominant cost saving for brute-forced scenes.
+    """
+    lo = prim_slice.start if prim_slice is not None else 0
+    hi = prim_slice.stop if prim_slice is not None else scene.n_prims
 
     t_min = jnp.asarray(t_min)
     t_max = jnp.asarray(t_max)
@@ -272,11 +273,44 @@ def candidate_t(
         t_min = t_min[:, None]
     if t_max.ndim == 1:
         t_max = t_max[:, None]
+    tmb = tm[:, None]
 
-    t = _t_switch(kind[None, :], p, ob, db, tm[:, None], t_min, t_max)
-    if not include_inactive:
-        t = jnp.where(scene.active[sl][None, :], t, INF)
-    return t
+    # static homogeneous sub-windows covering [lo, hi)
+    windows = [
+        (k, max(s, lo), min(e, hi))
+        for (k, s, e) in scene.stats.kind_ranges
+        if max(s, lo) < min(e, hi)
+    ]
+    if sum(e - s for _, s, e in windows) != hi - lo:
+        # window not covered by range metadata (e.g. inside the BVH region):
+        # fall back to the masked switch over present kinds
+        windows = None
+
+    def eval_window(sl, kinds):
+        p = scene.params[:, sl][:, None, :]  # (16, 1, W)
+        ob = o[:, :, None]  # (3, N, 1)
+        db = d[:, :, None]
+        if scene.any_xform:
+            ob, db = _xform_rays(
+                scene.xf_rot[:, :, None, sl],
+                scene.xf_trans[:, None, sl],
+                scene.xf_inv_scale[None, sl],
+                ob,
+                db,
+            )
+        if len(kinds) == 1:
+            t = _t_for_kind(kinds[0], p, ob, db, tmb, t_min, t_max)
+            t = jnp.broadcast_to(t, (o.shape[1], sl.stop - sl.start))
+        else:
+            t = _t_switch(scene.kind[sl][None, :], p, ob, db, tmb, t_min, t_max, kinds)
+        if not include_inactive:
+            t = jnp.where(scene.active[sl][None, :], t, INF)
+        return t
+
+    if windows is None:
+        return eval_window(slice(lo, hi), scene.stats.kinds_present or None)
+    parts = [eval_window(slice(s, e), (k,)) for k, s, e in windows]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 def candidate_t_rows(
@@ -299,7 +333,7 @@ def candidate_t_rows(
             o,
             d,
         )
-    return _t_switch(kind, p, o, d, tm, t_min, t_max)
+    return _t_switch(kind, p, o, d, tm, t_min, t_max, scene.stats.kinds_present or None)
 
 
 def _medium_t(
@@ -358,73 +392,111 @@ def _medium_t(
 
 def traverse_bvh(
     scene: SceneData,
+    tree_idx: int,
     o,
     d,
     tm,
     t_min,
     t_max,
-    leaf_size: int = 4,
+    block: int = 128,
 ):
-    """Closest hit over the BVH subset -> (t_best f32[N], best i32[N]).
+    """Packet closest hit over the BVH subset -> (t_best f32[N], best i32[N]).
 
-    Every ray walks the preorder skip-link array in lockstep inside one
-    ``lax.while_loop``; finished rays idle at node == Nn.  The AABB slab
-    test follows aabb.rs:15-32 (running max/min with early tmax<=tmin fail),
-    with the current per-ray ``t_best`` as the shrinking upper bound (the
-    t_max threading of bvh/mod.rs:86-101).
+    TPU-native *packet* traversal: rays are grouped into blocks of ``block``
+    lanes that share ONE node pointer, walking the preorder skip-link array
+    (scene/bvh.py) in lockstep inside a single ``lax.while_loop``.  A block
+    descends when ANY of its rays hits the node AABB.  This replaces the
+    per-ray pointer walk (whose per-ray node gathers are pathologically slow
+    on TPU) with: a tiny B-sized gather of node data per step, a dense
+    (B, block) slab test on the VPU, and dense leaf primitive tests — no
+    per-lane gathers anywhere.  Camera rays are block-coherent by
+    construction (pixel-major order), which is what makes packets prune.
+
+    The AABB slab test follows aabb.rs:15-32; per-ray ``t_best`` bounds the
+    test like the t_max threading of bvh/mod.rs:86-101.
     """
-    bvh = scene.bvh
+    bvh = scene.bvhs[tree_idx]
+    tree_kind = scene.stats.trees[tree_idx][0]
     n_nodes = bvh.skip.shape[0]
     n = o.shape[1]
-    inv_d = 1.0 / d  # (3, N); IEEE inf on zero components like the reference
 
-    t_best0 = jnp.full((n,), INF)
+    # pad rays to a block multiple with rays that hit nothing
+    n_pad = (-n) % block
+    if n_pad:
+        far = jnp.full((3, n_pad), 1e30)
+        o = jnp.concatenate([o, far], axis=1)
+        d = jnp.concatenate([d, jnp.ones((3, n_pad))], axis=1)
+        tm = jnp.concatenate([tm, jnp.zeros(n_pad)])
+    nb = (n + n_pad) // block
+
+    ob = o.reshape(3, nb, block)
+    db = d.reshape(3, nb, block)
+    tmb = tm.reshape(nb, block)
+    inv_d = 1.0 / db  # IEEE inf on zero components like the reference
+
     if jnp.ndim(t_max) == 0:
-        t_cap = jnp.full((n,), t_max)
+        t_cap = jnp.full((nb, block), t_max)
     else:
-        t_cap = t_max
+        t_cap = jnp.concatenate([t_max, jnp.zeros(n_pad)]).reshape(nb, block)
+
+    t_best0 = jnp.full((nb, block), INF)
+    leaf_size = scene.stats.bvh_leaf_size
 
     def cond(state):
         node, _, _ = state
         return jnp.any(node < n_nodes)
 
     def body(state):
-        node, t_best, best = state
-        ray_live = node < n_nodes
+        node, t_best, best = state  # node: [nb]
+        blk_live = node < n_nodes
         nd = jnp.minimum(node, n_nodes - 1)
 
-        bmin = bvh.bmin[:, nd]  # (3, N)
-        bmax = bvh.bmax[:, nd]
-        t0 = (bmin - o) * inv_d
-        t1 = (bmax - o) * inv_d
+        bmin = bvh.bmin[:, nd][:, :, None]  # (3, nb, 1)
+        bmax = bvh.bmax[:, nd][:, :, None]
+        t0 = (bmin - ob) * inv_d
+        t1 = (bmax - ob) * inv_d
         near = jnp.where(inv_d < 0.0, t1, t0)
-        far = jnp.where(inv_d < 0.0, t0, t1)
+        far_ = jnp.where(inv_d < 0.0, t0, t1)
         cur_max = jnp.minimum(t_best, t_cap)
         tmin_r = jnp.maximum(jnp.maximum(jnp.maximum(near[0], near[1]), near[2]), t_min)
-        tmax_r = jnp.minimum(jnp.minimum(jnp.minimum(far[0], far[1]), far[2]), cur_max)
-        hit_box = (tmax_r > tmin_r) & ray_live
+        tmax_r = jnp.minimum(jnp.minimum(jnp.minimum(far_[0], far_[1]), far_[2]), cur_max)
+        hit_box = tmax_r > tmin_r  # (nb, block)
+        any_hit = jnp.any(hit_box, axis=1) & blk_live  # [nb]
 
-        leaf_cnt = bvh.leaf_count[nd]
+        leaf_cnt = bvh.leaf_count[nd]  # [nb]
         start = bvh.leaf_start[nd]
-        is_leaf = leaf_cnt > 0
+        is_leaf = (leaf_cnt > 0) & any_hit
 
         for j in range(leaf_size):
-            pid = jnp.clip(start + j, 0, scene.n_prims - 1)
-            valid = hit_box & is_leaf & (j < leaf_cnt)
-            t_j = candidate_t_rows(
-                scene, pid, o, d, tm, t_min, jnp.minimum(t_best, t_cap)
-            )
-            upd = valid & (t_j < t_best)
+            pid = jnp.clip(start + j, 0, scene.n_prims - 1)  # [nb]
+            valid = is_leaf & (j < leaf_cnt)  # [nb]
+            # one prim per block, broadcast across lanes: dense, no gathers
+            p = scene.params[:, pid][:, :, None]  # (16, nb, 1)
+            oo, dd = ob, db
+            if scene.any_xform:
+                oo, dd = _xform_rays(
+                    scene.xf_rot[:, :, pid][:, :, :, None],
+                    scene.xf_trans[:, pid][:, :, None],
+                    scene.xf_inv_scale[pid][:, None],
+                    ob,
+                    db,
+                )
+            # homogeneous tree: one static formula, no masked switch
+            t_j = _t_for_kind(tree_kind, p, oo, dd, tmb, t_min, cur_max)
+            t_j = jnp.broadcast_to(t_j, (nb, block))
+            upd = valid[:, None] & (t_j < t_best)
             t_best = jnp.where(upd, t_j, t_best)
-            best = jnp.where(upd, pid, best)
+            best = jnp.where(upd, pid[:, None], best)
 
-        descend = hit_box & ~is_leaf
-        node = jnp.where(ray_live, jnp.where(descend, nd + 1, bvh.skip[nd]), node)
+        descend = any_hit & (leaf_cnt == 0)
+        node = jnp.where(blk_live, jnp.where(descend, nd + 1, bvh.skip[nd]), node)
         return node, t_best, best
 
-    node0 = jnp.zeros((n,), dtype=jnp.int32)
-    best0 = jnp.zeros((n,), dtype=jnp.int32)
+    node0 = jnp.zeros((nb,), dtype=jnp.int32)
+    best0 = jnp.zeros((nb, block), dtype=jnp.int32)
     _, t_best, best = jax.lax.while_loop(cond, body, (node0, t_best0, best0))
+    t_best = t_best.reshape(-1)[:n]
+    best = best.reshape(-1)[:n]
     return t_best, best
 
 
@@ -473,76 +545,79 @@ def hit_details(
 
     pt = oo + scale(od, t_best)  # object-space hit point
 
-    # --- per-kind outward normal + uv (object space) ---
-    # sphere / moving sphere (sphere.rs:58-66, 138-165)
-    c_static = vec3(p[0], p[1], p[2])
-    c_moving = _msphere_center(p, tm)
-    center = jnp.where(kind[None] == MSPHERE, c_moving, c_static)
-    n_sphere = (pt - center) / jnp.where(p[3] == 0.0, 1.0, p[3])[None]
-    u_sph, v_sph = _sphere_uv(n_sphere)
-
-    # rect (aarect.rs:58-66 et al.)
-    ka = p[5].astype(jnp.int32)
-    a_axis, b_axis = _rect_axes(ka)
-    av = _axis_select(pt, a_axis)
-    bv = _axis_select(pt, b_axis)
-    u_rect = safe_div(av - p[0], p[1] - p[0])
-    v_rect = safe_div(bv - p[2], p[3] - p[2])
+    kinds = scene.stats.kinds_present or (SPHERE, MSPHERE, RECT, TRIANGLE, RING, MEDIUM)
     zeros = jnp.zeros_like(t_best)
     ones = jnp.ones_like(t_best)
-    n_rect = vec3(
-        jnp.where(ka == 0, ones, zeros),
-        jnp.where(ka == 1, ones, zeros),
-        jnp.where(ka == 2, ones, zeros),
-    )
-
-    # triangle (triangle.rs:51-72): flat normal + (beta, gamma) via 2x2 solve
-    ta = vec3(p[0], p[1], p[2])
-    tb = vec3(p[3], p[4], p[5])
-    tc = vec3(p[6], p[7], p[8])
-    tcr = cross(tb - ta, tc - ta)
-    tlen = jnp.sqrt(dot(tcr, tcr))
-    n_tri = tcr / jnp.where(tlen == 0.0, 1.0, tlen)[None]
-    a1 = ta[0] - tb[0]
-    b1 = ta[0] - tc[0]
-    c1 = ta[0] - pt[0]
-    a2 = ta[1] - tb[1]
-    b2 = ta[1] - tc[1]
-    c2 = ta[1] - pt[1]
-    det = a1 * b2 - b1 * a2
-    beta = safe_div(c1 * b2 - b1 * c2, det)
-    gamma = safe_div(a1 * c2 - a2 * c1, det)
-    # ObjTexture uv interpolation (texture/mod.rs:167-188)
-    alpha = 1.0 - beta - gamma
-    tex_u = p[9] * alpha + p[11] * beta + p[13] * gamma
-    tex_v = p[10] * alpha + p[12] * beta + p[14] * gamma
-
-    # ring (ring.rs:48-51)
-    n_ring = vec3(zeros, ones, zeros)
-
-    # medium (constantmedium.rs:69-76): arbitrary normal, front_face = true
-    n_med = vec3(ones, zeros, zeros)
-
     k = kind[None]
-    outward = jnp.where(
-        k == RECT,
-        n_rect,
-        jnp.where(
-            k == TRIANGLE,
-            n_tri,
-            jnp.where(k == RING, n_ring, jnp.where(k == MEDIUM, n_med, n_sphere)),
-        ),
-    )
-    u = jnp.where(
-        kind == RECT,
-        u_rect,
-        jnp.where(kind == TRIANGLE, beta, jnp.where(kind <= MSPHERE, u_sph, zeros)),
-    )
-    v = jnp.where(
-        kind == RECT,
-        v_rect,
-        jnp.where(kind == TRIANGLE, gamma, jnp.where(kind <= MSPHERE, v_sph, zeros)),
-    )
+
+    # defaults; each present kind overrides its own rows below
+    outward = vec3(ones, zeros, zeros)
+    u = zeros
+    v = zeros
+    tex_u = zeros
+    tex_v = zeros
+
+    if SPHERE in kinds or MSPHERE in kinds:
+        # sphere / moving sphere (sphere.rs:58-66, 138-165)
+        c_static = vec3(p[0], p[1], p[2])
+        if MSPHERE in kinds:
+            center = jnp.where(k == MSPHERE, _msphere_center(p, tm), c_static)
+        else:
+            center = c_static
+        n_sphere = (pt - center) / jnp.where(p[3] == 0.0, 1.0, p[3])[None]
+        u_sph, v_sph = _sphere_uv(n_sphere)
+        is_sph = kind <= MSPHERE
+        outward = jnp.where(is_sph[None], n_sphere, outward)
+        u = jnp.where(is_sph, u_sph, u)
+        v = jnp.where(is_sph, v_sph, v)
+
+    if RECT in kinds:
+        # rect (aarect.rs:58-66 et al.)
+        ka = p[5].astype(jnp.int32)
+        a_axis, b_axis = _rect_axes(ka)
+        av = _axis_select(pt, a_axis)
+        bv = _axis_select(pt, b_axis)
+        n_rect = vec3(
+            jnp.where(ka == 0, ones, zeros),
+            jnp.where(ka == 1, ones, zeros),
+            jnp.where(ka == 2, ones, zeros),
+        )
+        is_rect = kind == RECT
+        outward = jnp.where(is_rect[None], n_rect, outward)
+        u = jnp.where(is_rect, safe_div(av - p[0], p[1] - p[0]), u)
+        v = jnp.where(is_rect, safe_div(bv - p[2], p[3] - p[2]), v)
+
+    if TRIANGLE in kinds:
+        # triangle (triangle.rs:51-72): flat normal + (beta, gamma) 2x2 solve
+        ta = vec3(p[0], p[1], p[2])
+        tb = vec3(p[3], p[4], p[5])
+        tc = vec3(p[6], p[7], p[8])
+        tcr = cross(tb - ta, tc - ta)
+        tlen = jnp.sqrt(dot(tcr, tcr))
+        n_tri = tcr / jnp.where(tlen == 0.0, 1.0, tlen)[None]
+        a1 = ta[0] - tb[0]
+        b1 = ta[0] - tc[0]
+        c1 = ta[0] - pt[0]
+        a2 = ta[1] - tb[1]
+        b2 = ta[1] - tc[1]
+        c2 = ta[1] - pt[1]
+        det = a1 * b2 - b1 * a2
+        beta = safe_div(c1 * b2 - b1 * c2, det)
+        gamma = safe_div(a1 * c2 - a2 * c1, det)
+        # ObjTexture uv interpolation (texture/mod.rs:167-188)
+        alpha = 1.0 - beta - gamma
+        is_tri = kind == TRIANGLE
+        outward = jnp.where(is_tri[None], n_tri, outward)
+        u = jnp.where(is_tri, beta, u)
+        v = jnp.where(is_tri, gamma, v)
+        tex_u = jnp.where(is_tri, p[9] * alpha + p[11] * beta + p[13] * gamma, tex_u)
+        tex_v = jnp.where(is_tri, p[10] * alpha + p[12] * beta + p[14] * gamma, tex_v)
+
+    if RING in kinds:
+        # ring (ring.rs:48-51): +y normal, uv left at 0
+        outward = jnp.where((kind == RING)[None], vec3(zeros, ones, zeros), outward)
+
+    # medium (constantmedium.rs:69-76) keeps the (1,0,0) default normal
 
     # set_face_normal in the object frame (hittable/mod.rs:49-56); for a
     # similarity transform the sign agrees with the world frame.  Mediums set
@@ -582,6 +657,58 @@ def hit_details(
 # --------------------------------------------------------------------------
 
 
+def _dense_window_scan(scene, k, s, e, chunk, o, d, tm, t_min, t_max, t_best, best):
+    """Scan a large homogeneous window in fixed prim chunks.
+
+    Each scan step dynamic-slices ``chunk`` primitive rows, evaluates the
+    single kind-``k`` formula densely against all rays, and folds the chunk
+    min into the running (t_best, best).  Peak memory is O(N * chunk).
+    """
+    n_chunks = (e - s + chunk - 1) // chunk
+    # clamp starts so every slice stays in bounds (dynamic_slice clamps the
+    # start itself, which would silently shift the window): overlapping rows
+    # are re-tested, which is harmless for a running min
+    starts = jnp.minimum(
+        s + jnp.arange(n_chunks, dtype=jnp.int32) * chunk, scene.n_prims - chunk
+    )
+    col = jnp.arange(chunk, dtype=jnp.int32)
+
+    t_min_b = jnp.asarray(t_min)
+    t_max_b = jnp.asarray(t_max)
+    if t_min_b.ndim == 1:
+        t_min_b = t_min_b[:, None]
+    if t_max_b.ndim == 1:
+        t_max_b = t_max_b[:, None]
+    ob = o[:, :, None]
+    db = d[:, :, None]
+    tmb = tm[:, None]
+
+    def body(carry, cs):
+        t_best, best = carry
+        p = jax.lax.dynamic_slice_in_dim(scene.params, cs, chunk, axis=1)[:, None, :]
+        oo, dd = ob, db
+        if scene.any_xform:
+            oo, dd = _xform_rays(
+                jax.lax.dynamic_slice_in_dim(scene.xf_rot, cs, chunk, axis=2)[:, :, None, :],
+                jax.lax.dynamic_slice_in_dim(scene.xf_trans, cs, chunk, axis=1)[:, None, :],
+                jax.lax.dynamic_slice_in_dim(scene.xf_inv_scale, cs, chunk, axis=0)[None, :],
+                ob,
+                db,
+            )
+        t_w = _t_for_kind(k, p, oo, dd, tmb, t_min_b, t_max_b)  # (N, chunk)
+        rows = cs + col
+        in_window = ((rows >= s) & (rows < e))[None, :]
+        act = jax.lax.dynamic_slice_in_dim(scene.active, cs, chunk, axis=0)[None, :]
+        t_w = jnp.where(in_window & act, t_w, INF)
+        tw = jnp.min(t_w, axis=1)
+        bw = jnp.argmin(t_w, axis=1).astype(jnp.int32) + cs
+        take = tw < t_best
+        return (jnp.where(take, tw, t_best), jnp.where(take, bw, best)), None
+
+    (t_best, best), _ = jax.lax.scan(body, (t_best, best), starts)
+    return t_best, best
+
+
 def closest_hit(
     scene: SceneData,
     o,
@@ -590,7 +717,6 @@ def closest_hit(
     t_min,
     t_max,
     key,
-    leaf_size: int = 4,
 ) -> Hit:
     """Closest hit over the whole scene.
 
@@ -599,33 +725,47 @@ def closest_hit(
     reordered prefix + brute force over the loose tail (mediums, boundary
     shadows), min-combined.
     """
-    if scene.bvh is None:
-        t_all = candidate_t(scene, o, d, tm, t_min, t_max)
-        if scene.any_medium:
-            for med_prim, b_start, b_count in scene.stats.mediums:
-                tmed = _medium_t(scene, med_prim, b_start, b_count, o, d, tm, t_min, key)
-                tmed = jnp.where(tmed <= t_max, tmed, INF)
-                t_all = t_all.at[:, med_prim].set(tmed)
-        best = jnp.argmin(t_all, axis=1)
-        t_best = jnp.min(t_all, axis=1)
-    else:
-        n_bvh = scene.stats.n_in_bvh
-        t_best, best = traverse_bvh(scene, o, d, tm, t_min, t_max, leaf_size=leaf_size)
-        if n_bvh < scene.n_prims:
-            loose = slice(n_bvh, scene.n_prims)
-            t_loose = candidate_t(scene, o, d, tm, t_min, t_max, prim_slice=loose)
-            if scene.any_medium:
-                for med_prim, b_start, b_count in scene.stats.mediums:
-                    tmed = _medium_t(
-                        scene, med_prim, b_start, b_count, o, d, tm, t_min, key
-                    )
-                    tmed = jnp.where(tmed <= t_max, tmed, INF)
-                    t_loose = t_loose.at[:, med_prim - n_bvh].set(tmed)
-            tl_best = jnp.min(t_loose, axis=1)
-            l_best = jnp.argmin(t_loose, axis=1).astype(jnp.int32) + n_bvh
-            take_loose = tl_best < t_best
-            t_best = jnp.where(take_loose, tl_best, t_best)
-            best = jnp.where(take_loose, l_best, best)
+    n = o.shape[1]
+    t_best = jnp.full((n,), INF)
+    best = jnp.zeros((n,), dtype=jnp.int32)
+    brute_lo = scene.stats.n_in_bvh
+    for i in range(len(scene.bvhs)):
+        t_i, b_i = traverse_bvh(scene, i, o, d, tm, t_min, t_max)
+        take = t_i < t_best
+        t_best = jnp.where(take, t_i, t_best)
+        best = jnp.where(take, b_i, best)
+
+    # stream homogeneous windows over the brute region: each window's
+    # [N, W] candidate matrix reduces to a running (t_best, best) without
+    # ever materializing the full [N, P] grid; windows larger than CHUNK
+    # prims run as a lax.scan over fixed chunks so the transient stays
+    # bounded regardless of XLA fusion decisions
+    ranges = [r for r in scene.stats.kind_ranges if r[2] > brute_lo]
+    if not ranges and not scene.bvhs and scene.n_prims > 0:
+        ranges = [(-1, 0, scene.n_prims)]  # legacy: full masked switch
+    CHUNK = 512
+    for k, s, e in ranges:
+        s = max(s, brute_lo)
+        if k == MEDIUM:
+            continue  # handled stochastically below
+        if e - s <= CHUNK:
+            t_w = candidate_t(scene, o, d, tm, t_min, t_max, prim_slice=slice(s, e))
+            tw = jnp.min(t_w, axis=1)
+            bw = jnp.argmin(t_w, axis=1).astype(jnp.int32) + s
+            take = tw < t_best
+            t_best = jnp.where(take, tw, t_best)
+            best = jnp.where(take, bw, best)
+        else:
+            t_best, best = _dense_window_scan(
+                scene, k, s, e, CHUNK, o, d, tm, t_min, t_max, t_best, best
+            )
+
+    if scene.any_medium:
+        for med_prim, b_start, b_count in scene.stats.mediums:
+            tmed = _medium_t(scene, med_prim, b_start, b_count, o, d, tm, t_min, key)
+            take = (tmed <= t_max) & (tmed < t_best)
+            t_best = jnp.where(take, tmed, t_best)
+            best = jnp.where(take, med_prim, best)
 
     hit_mask = jnp.isfinite(t_best)
     safe_t = jnp.where(hit_mask, t_best, 1.0)

@@ -35,7 +35,8 @@ class RenderConfig:
     seed: int = 0
     t_min: float = 1e-3
     spawn_eps: float = 1e-4
-    spp_per_batch: int = 0  # 0 = all samples in one device launch
+    spp_per_batch: int = 0  # 0 = auto (bound rays/launch); -1 = single launch
+    max_rays_per_batch: int = 1 << 19  # auto-batching target
 
     def trace_cfg(self) -> TraceConfig:
         return TraceConfig(
@@ -78,30 +79,52 @@ _render_batch_jit = jax.jit(
 )
 
 
-def render_sum(scene: SceneData, camera: Camera, cfg: RenderConfig) -> jnp.ndarray:
-    """Full render -> (3, H, W) radiance sum over cfg.spp samples."""
+def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig):
+    """Full render -> ((3, H, W) radiance sum, n_samples).
+
+    Samples are taken in UNIFORM batches (one compile for all launches);
+    cfg.spp is rounded UP to a batch multiple, and the actual sample count
+    is returned for normalization.
+    """
     key = jax.random.PRNGKey(cfg.seed)
     tcfg = cfg.trace_cfg()
-    batch = cfg.spp_per_batch or cfg.spp
+    if cfg.spp_per_batch > 0:
+        batch = min(cfg.spp_per_batch, cfg.spp)
+    elif cfg.spp_per_batch < 0:
+        batch = cfg.spp
+    else:
+        # auto: keep each device launch under max_rays_per_batch rays so
+        # launches stay short and transient memory bounded
+        batch = min(cfg.spp, max(1, cfg.max_rays_per_batch // (cfg.width * cfg.height)))
+    n_batches = -(-cfg.spp // batch)
     total = jnp.zeros((3, cfg.height, cfg.width))
-    done = 0
-    i = 0
-    while done < cfg.spp:
-        this = min(batch, cfg.spp - done)
+    for i in range(n_batches):
         total = total + _render_batch_jit(
             scene,
             camera,
             jax.random.fold_in(key, i),
             width=cfg.width,
             height=cfg.height,
-            spp=this,
+            spp=batch,
             cfg=tcfg,
         )
-        done += this
-        i += 1
+    return total, n_batches * batch
+
+
+def render_sum(scene: SceneData, camera: Camera, cfg: RenderConfig) -> jnp.ndarray:
+    """Full render -> (3, H, W) radiance MEAN-scaled sum over cfg.spp.
+
+    Kept for API compatibility: the returned array divided by cfg.spp is the
+    image mean (internally the sampler may take a few extra samples to keep
+    batches uniform; the sum is rescaled accordingly).
+    """
+    total, n = render_sum_n(scene, camera, cfg)
+    if n != cfg.spp:
+        total = total * (cfg.spp / n)
     return total
 
 
 def render(scene: SceneData, camera: Camera, cfg: RenderConfig):
     """Full render -> u8[H, W, 3] tone-mapped image."""
-    return tonemap_u8(render_sum(scene, camera, cfg), cfg.spp)
+    total, n = render_sum_n(scene, camera, cfg)
+    return tonemap_u8(total, n)

@@ -289,6 +289,11 @@ class SceneBuilder:
         """
         ids = sorted(boundary_ids)
         assert ids == list(range(ids[0], ids[0] + len(ids))), "boundary must be contiguous"
+        assert len({self.kind[i] for i in ids}) == 1, (
+            "medium boundary must be a single primitive kind (the reference "
+            "only wraps Boxes or Sphere); mixed kinds would break the "
+            "compiler's kind grouping"
+        )
         for i in ids:
             self.active_of[i] = False
         mat = self.isotropic(albedo)
@@ -401,7 +406,7 @@ class SceneBuilder:
         return wc.min(axis=0), wc.max(axis=0)
 
     # ------------------------------------------------------------- finalize
-    def finalize(self, bvh_threshold: int = 64, leaf_size: int = 4) -> SceneData:
+    def finalize(self, bvh_threshold: int = 4096, leaf_size: int = 8) -> SceneData:
         import jax.numpy as jnp
 
         from .bvh import build_bvh
@@ -421,48 +426,76 @@ class SceneBuilder:
         any_xform = not all(xf.is_identity() for xf in self.xform_of)
         lights = np.array(self.lights, dtype=np.int32)
 
-        # --- optional BVH over the active non-medium prims ---
-        bvh = None
-        mediums = tuple(self.mediums)
-        n_bvh_candidates = int(active.sum()) - len(mediums)
-        if n_bvh_candidates > bvh_threshold:
-            in_bvh = active & (kind != MEDIUM)
-            bvh_ids = np.nonzero(in_bvh)[0]
-            loose_ids = np.nonzero(~in_bvh)[0]
-            bboxes = [self.prim_bbox(int(i)) for i in bvh_ids]
+        # --- primitive ordering ---
+        # Per-kind BVH *forest*: every active kind with more than
+        # ``bvh_threshold`` prims gets its own homogeneous tree (so device
+        # leaf tests run ONE static formula); everything else lands in the
+        # dense tail, grouped by kind so candidate_t runs one formula per
+        # window.  Stable sorts keep each medium's boundary rows contiguous
+        # (they share a kind and were added contiguously).
+        bvhs = []
+        trees = []
+        tree_perm_parts = []
+        tree_kinds = set()
+        for k in sorted(set(int(x) for x in kind)):
+            if k == MEDIUM:
+                continue
+            ids = np.nonzero(active & (kind == k))[0]
+            if len(ids) <= bvh_threshold:
+                continue
+            tree_kinds.add(k)
+            bboxes = [self.prim_bbox(int(i)) for i in ids]
             nodes, order = build_bvh(
                 np.stack([b[0] for b in bboxes]),
                 np.stack([b[1] for b in bboxes]),
                 leaf_size=leaf_size,
             )
-            perm = np.concatenate([bvh_ids[order], loose_ids])
-            inv = np.empty(n, dtype=np.int64)
-            inv[perm] = np.arange(n)
-            kind = kind[perm]
-            params = params[:, perm]
-            iparams = iparams[:, perm]
-            mat_id = mat_id[perm]
-            flip = flip[perm]
-            active = active[perm]
-            xf_rot = xf_rot[:, :, perm]
-            xf_inv_scale = xf_inv_scale[perm]
-            xf_trans = xf_trans[:, perm]
-            lights = inv[lights].astype(np.int32) if len(lights) else lights
-            mediums = tuple(
-                (int(inv[pid]), int(inv[b0]), cnt) for pid, b0, cnt in self.mediums
+            lo = sum(len(p) for p in tree_perm_parts)
+            tree_perm_parts.append(ids[order])
+            trees.append((k, lo, lo + len(ids)))
+            bvhs.append(
+                BvhArrays(
+                    bmin=jnp.asarray(nodes["bmin"]),
+                    bmax=jnp.asarray(nodes["bmax"]),
+                    leaf_start=jnp.asarray(nodes["leaf_start"] + lo),
+                    leaf_count=jnp.asarray(nodes["leaf_count"]),
+                    skip=jnp.asarray(nodes["skip"]),
+                )
             )
-            # boundary rows of a medium must stay contiguous: they are loose
-            # (never in the BVH set) and keep their relative order.
-            bvh = BvhArrays(
-                bmin=jnp.asarray(nodes["bmin"]),
-                bmax=jnp.asarray(nodes["bmax"]),
-                leaf_start=jnp.asarray(nodes["leaf_start"]),
-                leaf_count=jnp.asarray(nodes["leaf_count"]),
-                skip=jnp.asarray(nodes["skip"]),
-            )
-            n_in_bvh = len(bvh_ids)
-        else:
-            n_in_bvh = 0
+        n_in_bvh = sum(len(p) for p in tree_perm_parts)
+        in_tree = np.zeros(n, dtype=bool)
+        for p in tree_perm_parts:
+            in_tree[p] = True
+        loose_ids = np.nonzero(~in_tree)[0]
+        loose_ids = loose_ids[np.argsort(kind[loose_ids], kind="stable")]
+        perm = np.concatenate(tree_perm_parts + [loose_ids]) if tree_perm_parts else loose_ids
+
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        kind = kind[perm]
+        params = params[:, perm]
+        iparams = iparams[:, perm]
+        mat_id = mat_id[perm]
+        flip = flip[perm]
+        active = active[perm]
+        xf_rot = xf_rot[:, :, perm]
+        xf_inv_scale = xf_inv_scale[perm]
+        xf_trans = xf_trans[:, perm]
+        lights = inv[lights].astype(np.int32) if len(lights) else lights
+        mediums = tuple(
+            (int(inv[pid]), int(inv[b0]), cnt) for pid, b0, cnt in self.mediums
+        )
+
+        # homogeneous kind windows over the brute-forced region
+        kind_ranges = []
+        i = n_in_bvh
+        while i < n:
+            j = i
+            while j < n and kind[j] == kind[i]:
+                j += 1
+            kind_ranges.append((int(kind[i]), i, j))
+            i = j
+        kinds_present = tuple(sorted(set(int(k) for k in kind)))
 
         # --- texture atlas ---
         if self.images:
@@ -514,8 +547,12 @@ class SceneBuilder:
             light_kinds=tuple(int(kind[i]) for i in lights),
             light_axes=tuple(int(params[5, i]) for i in lights),
             n_in_bvh=n_in_bvh,
+            bvh_leaf_size=leaf_size,
+            trees=tuple(trees),
             time0=self.time0,
             time1=self.time1,
+            kind_ranges=tuple(kind_ranges),
+            kinds_present=kinds_present,
         )
 
         return SceneData(
@@ -531,7 +568,7 @@ class SceneBuilder:
             materials=materials,
             textures=textures,
             lights=jnp.asarray(lights),
-            bvh=bvh,
+            bvhs=tuple(bvhs),
             any_xform=any_xform,
             any_medium=bool(mediums),
             stats=stats,

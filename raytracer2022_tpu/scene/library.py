@@ -48,7 +48,7 @@ def _book_camera(lookfrom, lookat, vfov, aperture=0.0, focus=10.0, aspect=16 / 9
     )
 
 
-def random_scene(seed: int = 0, bvh_threshold: int = 64) -> SceneBundle:
+def random_scene(seed: int = 0, bvh_threshold: int = 4096) -> SceneBundle:
     """Book1 final scene + motion blur (scene.rs:22-84)."""
     b = SceneBuilder(seed=seed)
     rng = b.rng

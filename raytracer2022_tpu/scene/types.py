@@ -136,8 +136,20 @@ class SceneStats:
     light_kinds: Tuple[int, ...] = ()
     light_axes: Tuple[int, ...] = ()  # rect constant axis per light (0 otherwise)
     n_in_bvh: int = 0
+    bvh_leaf_size: int = 8
+    # One tree per large homogeneous kind: (kind, prim_lo, prim_hi) aligned
+    # with SceneData.bvhs.  Homogeneous trees keep the leaf test a single
+    # static formula (small compile, no masked switch).
+    trees: Tuple[Tuple[int, int, int], ...] = ()
     time0: float = 0.0
     time1: float = 1.0
+    # Homogeneous (kind, start, stop) windows covering the brute-forced
+    # primitive region — the compiler groups prims by kind so candidate_t
+    # evaluates exactly one intersection formula per window.
+    kind_ranges: Tuple[Tuple[int, int, int], ...] = ()
+    # All prim kinds present anywhere in the scene (gates the masked
+    # formula switch in gathered-row evaluation / BVH leaves).
+    kinds_present: Tuple[int, ...] = ()
 
 
 @flax.struct.dataclass
@@ -162,7 +174,8 @@ class SceneData:
 
     lights: jnp.ndarray  # i32[L] prim ids used for light sampling (may be empty)
 
-    bvh: Optional[BvhArrays] = None
+    # Per-kind BVH forest (see SceneStats.trees); empty tuple = all-dense
+    bvhs: Tuple[BvhArrays, ...] = ()
 
     # Static (non-traced) metadata
     any_xform: bool = flax.struct.field(pytree_node=False, default=False)
@@ -179,4 +192,4 @@ class SceneData:
 
     @property
     def use_bvh(self) -> bool:
-        return self.bvh is not None
+        return len(self.bvhs) > 0

@@ -40,7 +40,9 @@ def test_albedo_gradient_finite_difference():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     # FD check on the floor albedo's red channel (texture id of floor mat)
-    floor_tex = int(scene.materials.tex[int(scene.mat_id[1])])
+    # material table order is creation order (prims are kind-permuted):
+    # 0 = light, 1 = floor lambertian, 2 = sphere lambertian
+    floor_tex = int(scene.materials.tex[1])
     eps = 1e-2
     e = jnp.zeros_like(c0).at[0, floor_tex].set(eps)
     fd = (f(c0 + e) - f(c0 - e)) / (2 * eps)
@@ -54,7 +56,7 @@ def test_emission_gradient_finite_difference():
     scene = _mini_cornell()
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
     cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
-    light_tex = int(scene.materials.tex[int(scene.mat_id[0])])
+    light_tex = int(scene.materials.tex[0])
 
     def f(color_table):
         return _loss_fn(scene.replace(textures=scene.textures.replace(color=color_table)), cam, cfg)
@@ -99,4 +101,6 @@ def test_fuzz_ir_gradients_flow():
     g = np.asarray(jax.grad(f)(scene.materials.param))
     assert np.isfinite(g).all()
     # the metal's fuzz parameter perturbs reflected dirs -> nonzero grad
-    assert abs(g[int(scene.mat_id[2])]) > 0
+    # (prims are kind-permuted by the compiler: find the metal by kind)
+    metal_mat = int(np.argmax(np.asarray(scene.materials.kind) == 1))
+    assert abs(g[metal_mat]) > 0

@@ -29,6 +29,12 @@ def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_size: int = 4):
       of arrays: ``bmin/bmax f32[3, Nn]``, ``leaf_start/leaf_count/skip
       i32[Nn]`` (leaf_count == 0 for internal nodes).
     """
+    from ..native import build_bvh_native
+
+    out = build_bvh_native(bmin, bmax, leaf_size=leaf_size, sah=True)
+    if out is not None:
+        return out
+
     n = len(bmin)
     centroid = (bmin + bmax) * 0.5
 

@@ -143,6 +143,28 @@ def cornell_box(seed: int = 0) -> SceneBundle:
     return SceneBundle(b.finalize(), cam, background=(0.0, 0.0, 0.0), name="cornell_box")
 
 
+def cornell_box_book(seed: int = 0) -> SceneBundle:
+    """Book3 cornell as the committed goldens were rendered (book colors:
+    green at x=555, light (15,15,15) — the frozen scene.rs:165-196 later
+    swapped red/green and brightened the light to 60; the goldens
+    output/book2/image18.jpg and output/book3/* predate that edit).
+    Used for golden-image validation (tools/golden.py)."""
+    b = SceneBuilder(seed=seed)
+    light = b.rect_xz(213, 343, 227, 332, 554, b.diffuse_light((15.0, 15.0, 15.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    b.rect_yz(0, 555, 0, 555, 555, green)
+    b.rect_yz(0, 555, 0, 555, 0, red)
+    b.rect_xz(0, 555, 0, 555, 0, white)
+    b.rect_xz(0, 555, 0, 555, 555, white)
+    b.rect_xy(0, 555, 0, 555, 555, white)
+    cam = _book_camera((278, 278, -800), (278, 278, 0), 40, aspect=1.0)
+    return SceneBundle(b.finalize(), cam, background=(0.0, 0.0, 0.0), name="cornell_box_book")
+
+
 def cornell_smoke(seed: int = 0) -> SceneBundle:
     """Cornell box with two smoke boxes (scene.rs:199-257)."""
     b = SceneBuilder(seed=seed)
@@ -320,6 +342,7 @@ SCENES = {
     "earth": earth,
     "simple_light": simple_light,
     "cornell_box": cornell_box,
+    "cornell_box_book": cornell_box_book,
     "cornell_smoke": cornell_smoke,
     "final_scene": final_scene,
     "wwscene": wwscene,

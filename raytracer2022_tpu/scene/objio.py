@@ -16,8 +16,15 @@ def load_obj(path: str):
     """Parse an OBJ file -> (verts f64[V, 3], faces i64[F, 3]).
 
     Face indices are resolved to 0-based position indices (negative OBJ
-    indices are supported).
+    indices are supported).  Uses the C++ parser (native/rt_native.cpp) when
+    built; this pure-Python path is the fallback and oracle.
     """
+    from ..native import load_obj_native
+
+    out = load_obj_native(path)
+    if out is not None:
+        return out
+
     verts: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []
 

@@ -70,6 +70,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    try:  # hardware PRNG: ~10% faster MC sampling than threefry on TPU
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     n_dev = len(jax.devices())
     log.stage(2, f"{n_dev} device(s)")
     t0 = time.perf_counter()

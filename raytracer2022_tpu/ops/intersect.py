@@ -258,7 +258,11 @@ def candidate_t(
     prim_slice: Optional[slice] = None,
     include_inactive: bool = False,
 ) -> jnp.ndarray:
-    """Candidate hit t for every (ray, prim) pair -> f32[N, P_slice].
+    """Candidate hit t for every (prim, ray) pair -> f32[P_slice, N].
+
+    Layout note: rays are the LAST axis so they map to TPU lanes — a
+    (N, P) layout would put the (often tiny) primitive count in the
+    128-wide lane dimension and waste most of the VPU.
 
     When the requested window is covered by the compiler's homogeneous
     ``kind_ranges``, each sub-window runs exactly ONE intersection formula
@@ -267,13 +271,9 @@ def candidate_t(
     lo = prim_slice.start if prim_slice is not None else 0
     hi = prim_slice.stop if prim_slice is not None else scene.n_prims
 
-    t_min = jnp.asarray(t_min)
+    t_min = jnp.asarray(t_min)  # scalar or (N,): broadcasts along lanes
     t_max = jnp.asarray(t_max)
-    if t_min.ndim == 1:
-        t_min = t_min[:, None]
-    if t_max.ndim == 1:
-        t_max = t_max[:, None]
-    tmb = tm[:, None]
+    tmb = tm[None, :]  # (1, N)
 
     # static homogeneous sub-windows covering [lo, hi)
     windows = [
@@ -287,30 +287,30 @@ def candidate_t(
         windows = None
 
     def eval_window(sl, kinds):
-        p = scene.params[:, sl][:, None, :]  # (16, 1, W)
-        ob = o[:, :, None]  # (3, N, 1)
-        db = d[:, :, None]
+        p = scene.params[:, sl][:, :, None]  # (16, W, 1)
+        ob = o[:, None, :]  # (3, 1, N)
+        db = d[:, None, :]
         if scene.any_xform:
             ob, db = _xform_rays(
-                scene.xf_rot[:, :, None, sl],
-                scene.xf_trans[:, None, sl],
-                scene.xf_inv_scale[None, sl],
+                scene.xf_rot[:, :, sl, None],
+                scene.xf_trans[:, sl, None],
+                scene.xf_inv_scale[sl, None],
                 ob,
                 db,
             )
         if len(kinds) == 1:
             t = _t_for_kind(kinds[0], p, ob, db, tmb, t_min, t_max)
-            t = jnp.broadcast_to(t, (o.shape[1], sl.stop - sl.start))
+            t = jnp.broadcast_to(t, (sl.stop - sl.start, o.shape[1]))
         else:
-            t = _t_switch(scene.kind[sl][None, :], p, ob, db, tmb, t_min, t_max, kinds)
+            t = _t_switch(scene.kind[sl][:, None], p, ob, db, tmb, t_min, t_max, kinds)
         if not include_inactive:
-            t = jnp.where(scene.active[sl][None, :], t, INF)
+            t = jnp.where(scene.active[sl][:, None], t, INF)
         return t
 
     if windows is None:
         return eval_window(slice(lo, hi), scene.stats.kinds_present or None)
     parts = [eval_window(slice(s, e), (k,)) for k, s, e in windows]
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def candidate_t_rows(
@@ -336,6 +336,34 @@ def candidate_t_rows(
     return _t_switch(kind, p, o, d, tm, t_min, t_max, scene.stats.kinds_present or None)
 
 
+def candidate_t_static(
+    scene: SceneData,
+    pid: int,  # STATIC primitive id
+    kind: int,  # STATIC kind
+    o,
+    d,
+    tm,
+    t_min,
+    t_max,
+) -> jnp.ndarray:
+    """Candidate t against ONE statically-known primitive -> f32[N].
+
+    For light pdf queries (pdf.rs:56-77) the prim id is a compile-time
+    constant, so the row is a static slice and the formula a single static
+    branch — no per-ray gather, no masked switch.
+    """
+    p = scene.params[:, pid][:, None]  # (16, 1)
+    if scene.any_xform:
+        o, d = _xform_rays(
+            scene.xf_rot[:, :, pid][:, :, None],
+            scene.xf_trans[:, pid][:, None],
+            scene.xf_inv_scale[pid][None],
+            o,
+            d,
+        )
+    return _t_for_kind(kind, p, o, d, tm, t_min, t_max)
+
+
 def _medium_t(
     scene: SceneData,
     med_prim: int,
@@ -357,13 +385,13 @@ def _medium_t(
     bsl = slice(b_start, b_start + b_count)
     t_entry = jnp.min(
         candidate_t(scene, o, d, tm, -INF, INF, prim_slice=bsl, include_inactive=True),
-        axis=1,
+        axis=0,
     )
     t_exit = jnp.min(
         candidate_t(
             scene, o, d, tm, t_entry + 1e-4, INF, prim_slice=bsl, include_inactive=True
         ),
-        axis=1,
+        axis=0,
     )
     has_both = jnp.isfinite(t_entry) & jnp.isfinite(t_exit)
 
@@ -528,19 +556,31 @@ def hit_details(
     """Reconstruct the full hit record for the winning primitive.
 
     Gathers the winning prim's row per ray and evaluates the per-kind
-    normal/uv formulas masked on kind, all at O(N) (not O(N*P)).
+    normal/uv formulas masked on kind, all at O(N) (not O(N*P)).  All
+    per-prim tables are fetched in ONE one-hot contraction (ops/tables.py)
+    — per-ray gathers from small tables are the TPU anti-pattern.
     """
-    p = scene.params[:, best]  # (16, N)
-    kind = scene.kind[best]
-    mat = scene.mat_id[best]
-    flip = scene.flip[best]
+    from .tables import take_cols_multi
 
     if scene.any_xform:
-        rot = scene.xf_rot[:, :, best]  # (3, 3, N)
-        trans = scene.xf_trans[:, best]
-        inv_s = scene.xf_inv_scale[best]
+        p, kind, mat, flip, rot_f, trans, inv_s = take_cols_multi(
+            [
+                scene.params,
+                scene.kind,
+                scene.mat_id,
+                scene.flip,
+                scene.xf_rot.reshape(9, -1),
+                scene.xf_trans,
+                scene.xf_inv_scale,
+            ],
+            best,
+        )
+        rot = rot_f.reshape(3, 3, -1)
         oo, od = _xform_rays(rot, trans, inv_s, o, d)
     else:
+        p, kind, mat, flip = take_cols_multi(
+            [scene.params, scene.kind, scene.mat_id, scene.flip], best
+        )
         oo, od = o, d
 
     pt = oo + scale(od, t_best)  # object-space hit point
@@ -673,35 +713,32 @@ def _dense_window_scan(scene, k, s, e, chunk, o, d, tm, t_min, t_max, t_best, be
     )
     col = jnp.arange(chunk, dtype=jnp.int32)
 
+    # rays on the LAST (lane) axis throughout — see candidate_t
     t_min_b = jnp.asarray(t_min)
     t_max_b = jnp.asarray(t_max)
-    if t_min_b.ndim == 1:
-        t_min_b = t_min_b[:, None]
-    if t_max_b.ndim == 1:
-        t_max_b = t_max_b[:, None]
-    ob = o[:, :, None]
-    db = d[:, :, None]
-    tmb = tm[:, None]
+    ob = o[:, None, :]  # (3, 1, N)
+    db = d[:, None, :]
+    tmb = tm[None, :]
 
     def body(carry, cs):
         t_best, best = carry
-        p = jax.lax.dynamic_slice_in_dim(scene.params, cs, chunk, axis=1)[:, None, :]
+        p = jax.lax.dynamic_slice_in_dim(scene.params, cs, chunk, axis=1)[:, :, None]
         oo, dd = ob, db
         if scene.any_xform:
             oo, dd = _xform_rays(
-                jax.lax.dynamic_slice_in_dim(scene.xf_rot, cs, chunk, axis=2)[:, :, None, :],
-                jax.lax.dynamic_slice_in_dim(scene.xf_trans, cs, chunk, axis=1)[:, None, :],
-                jax.lax.dynamic_slice_in_dim(scene.xf_inv_scale, cs, chunk, axis=0)[None, :],
+                jax.lax.dynamic_slice_in_dim(scene.xf_rot, cs, chunk, axis=2)[:, :, :, None],
+                jax.lax.dynamic_slice_in_dim(scene.xf_trans, cs, chunk, axis=1)[:, :, None],
+                jax.lax.dynamic_slice_in_dim(scene.xf_inv_scale, cs, chunk, axis=0)[:, None],
                 ob,
                 db,
             )
-        t_w = _t_for_kind(k, p, oo, dd, tmb, t_min_b, t_max_b)  # (N, chunk)
+        t_w = _t_for_kind(k, p, oo, dd, tmb, t_min_b, t_max_b)  # (chunk, N)
         rows = cs + col
-        in_window = ((rows >= s) & (rows < e))[None, :]
-        act = jax.lax.dynamic_slice_in_dim(scene.active, cs, chunk, axis=0)[None, :]
+        in_window = ((rows >= s) & (rows < e))[:, None]
+        act = jax.lax.dynamic_slice_in_dim(scene.active, cs, chunk, axis=0)[:, None]
         t_w = jnp.where(in_window & act, t_w, INF)
-        tw = jnp.min(t_w, axis=1)
-        bw = jnp.argmin(t_w, axis=1).astype(jnp.int32) + cs
+        tw = jnp.min(t_w, axis=0)
+        bw = jnp.argmin(t_w, axis=0).astype(jnp.int32) + cs
         take = tw < t_best
         return (jnp.where(take, tw, t_best), jnp.where(take, bw, best)), None
 
@@ -743,15 +780,18 @@ def closest_hit(
     ranges = [r for r in scene.stats.kind_ranges if r[2] > brute_lo]
     if not ranges and not scene.bvhs and scene.n_prims > 0:
         ranges = [(-1, 0, scene.n_prims)]  # legacy: full masked switch
-    CHUNK = 512
+    # bound the dense (N, chunk) transient: ~128M f32 elements regardless of
+    # wavefront size, so multi-million-ray launches don't OOM on a 530-prim
+    # scene (the transient is ~3x this for the vec temporaries)
+    CHUNK = max(32, min(512, (128 << 20) // max(n, 1)))
     for k, s, e in ranges:
         s = max(s, brute_lo)
         if k == MEDIUM:
             continue  # handled stochastically below
         if e - s <= CHUNK:
             t_w = candidate_t(scene, o, d, tm, t_min, t_max, prim_slice=slice(s, e))
-            tw = jnp.min(t_w, axis=1)
-            bw = jnp.argmin(t_w, axis=1).astype(jnp.int32) + s
+            tw = jnp.min(t_w, axis=0)
+            bw = jnp.argmin(t_w, axis=0).astype(jnp.int32) + s
             take = tw < t_best
             t_best = jnp.where(take, tw, t_best)
             best = jnp.where(take, bw, best)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.types import RECT, SPHERE, SceneData
-from .intersect import candidate_t_rows
+from .intersect import candidate_t_static
 from .sampling import to_sphere
 from .vecmath import length_sqr, onb_from_w, onb_local, vec3
 
@@ -68,10 +68,9 @@ def _light_pdf(scene: SceneData, idx: int, p, v, tm):
     kind = scene.stats.light_kinds[idx]
     prm = scene.params[:, pid]
     n = p.shape[1]
-    pid_arr = jnp.full((n,), pid, dtype=jnp.int32)
     if kind == SPHERE:
         # Sphere::pdf_value (sphere.rs:75-83): requires an actual hit
-        t = candidate_t_rows(scene, pid_arr, p, v, tm, 1e-3, jnp.inf)
+        t = candidate_t_static(scene, pid, kind, p, v, tm, 1e-3, jnp.inf)
         center = prm[0:3][:, None]
         rel = 1.0 - prm[3] * prm[3] / length_sqr(center - p)
         # the reference takes sqrt of a possibly negative value (origin
@@ -83,7 +82,7 @@ def _light_pdf(scene: SceneData, idx: int, p, v, tm):
     if kind == RECT:
         # XZRect::pdf_value et al. (aarect.rs:74-83): dist^2 / (cos * area)
         ka = scene.stats.light_axes[idx]
-        t = candidate_t_rows(scene, pid_arr, p, v, tm, 1e-3, jnp.inf)
+        t = candidate_t_static(scene, pid, kind, p, v, tm, 1e-3, jnp.inf)
         ok = jnp.isfinite(t)
         t_safe = jnp.where(ok, t, 0.0)  # keep inf out of the VJP
         area = (prm[1] - prm[0]) * (prm[3] - prm[2])

@@ -26,10 +26,20 @@ from ..scene.types import (
 )
 from .intersect import Hit
 from .sampling import uniform_in_unit_sphere
+from .tables import take_cols_multi
 from .textures import eval_texture
 from .vecmath import dot, reflect, refract, scale, to_unit
 
 PI = math.pi
+
+
+def _mat_rows(mt: MaterialTable, mat: jnp.ndarray):
+    """Per-ray (kind, tex, param) in one one-hot contraction.
+
+    Always fetches all three so the dot is identical across emitted/scatter
+    call sites and XLA CSEs it to a single kernel.
+    """
+    return take_cols_multi([mt.kind, mt.tex, mt.param], mat)
 
 
 @flax.struct.dataclass
@@ -51,8 +61,9 @@ def emitted(
 ) -> jnp.ndarray:
     """DiffuseLight::emitted — texture value only on front faces
     (material/mod.rs:174-180); all other kinds emit black."""
-    is_light = mt.kind[hit.mat] == DIFFUSE_LIGHT
-    value = eval_texture(tt, mt.tex[hit.mat], hit.u, hit.v, hit.p, hit.tex_uv, features)
+    kind, tex, _ = _mat_rows(mt, hit.mat)
+    is_light = kind == DIFFUSE_LIGHT
+    value = eval_texture(tt, tex, hit.u, hit.v, hit.p, hit.tex_uv, features)
     return jnp.where((is_light & hit.front & hit.hit)[None], value, 0.0)
 
 
@@ -66,11 +77,10 @@ def scatter(
     features: frozenset,
 ) -> Scatter:
     """One masked pass implementing all five scatter functions."""
-    kind = mt.kind[hit.mat]
-    param = mt.param[hit.mat]
+    kind, tex, param = _mat_rows(mt, hit.mat)
     n = hit.normal
 
-    albedo = eval_texture(tt, mt.tex[hit.mat], hit.u, hit.v, hit.p, hit.tex_uv, features)
+    albedo = eval_texture(tt, tex, hit.u, hit.v, hit.p, hit.tex_uv, features)
 
     k_fuzz, k_diel, k_iso = jax.random.split(key, 3)
     shape = tm.shape
@@ -130,4 +140,5 @@ def scattering_pdf_lambertian(normal: jnp.ndarray, scattered_dir: jnp.ndarray) -
 
 
 def is_lambertian(mt: MaterialTable, mat: jnp.ndarray) -> jnp.ndarray:
-    return mt.kind[mat] == LAMBERTIAN
+    kind, _, _ = _mat_rows(mt, mat)
+    return kind == LAMBERTIAN

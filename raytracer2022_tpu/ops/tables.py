@@ -1,0 +1,85 @@
+"""Fast per-ray table lookups.
+
+TPU gathers with per-element indices are slow (the XLA lowering walks rows
+through the scalar pipeline: profiling shows ~100 ns/row, which made three
+small-table gathers dominate the whole bounce loop).  For the small tables
+this framework dispatches on — materials, textures, and small scenes'
+primitive rows — a one-hot contraction on the MXU is orders of magnitude
+faster: build ``onehot[K, N] = (idx == arange(K))`` and matmul
+``table[C, K] @ onehot -> [C, N]``.
+
+``take_cols`` picks one-hot vs. real gather from static shapes.  Gradients
+flow through the table operand in both paths (the one-hot VJP is itself an
+MXU matmul, i.e. a fast scatter-add).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+# onehot budget: K*N f32 elements (256 MB); beyond this fall back to gather
+_BUDGET_ELEMS = 64 << 20
+_MAX_K = 2048
+
+
+def _use_onehot(k: int, n: int) -> bool:
+    return k <= _MAX_K and k * n <= _BUDGET_ELEMS
+
+
+def onehot_matmul(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[..., K]`` at ``idx[N]`` -> ``[..., N]`` via one-hot dot."""
+    k = table.shape[-1]
+    oh = (idx[None, :] == jnp.arange(k, dtype=idx.dtype)[:, None]).astype(jnp.float32)
+    flat = table.reshape(-1, k).astype(jnp.float32)
+    out = lax.dot(flat, oh, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    return out.reshape(*table.shape[:-1], idx.shape[0])
+
+
+def _restore_dtype(out: jnp.ndarray, dtype) -> jnp.ndarray:
+    if dtype == jnp.bool_:
+        return out > 0.5
+    if jnp.issubdtype(dtype, jnp.integer):
+        # small non-negative ids: exact in f32, round defends against FP fuzz
+        return jnp.round(out).astype(dtype)
+    return out.astype(dtype)
+
+
+def take_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[..., K]`` gathered at per-ray ``idx[N]`` -> ``[..., N]``."""
+    k = table.shape[-1]
+    if not _use_onehot(k, idx.shape[-1]):
+        return jnp.take(table, idx, axis=-1)
+    return _restore_dtype(onehot_matmul(table, idx), table.dtype)
+
+
+def take_cols_multi(tables, idx: jnp.ndarray):
+    """Gather several ``[..., K]`` tables at the same ``idx`` in ONE dot.
+
+    All tables must share K (their last axis).  Returns outputs in input
+    order, each ``[..., N]``.  Integer/bool tables must hold small
+    non-negative values (ids/flags), exactly representable in f32.
+    """
+    k = tables[0].shape[-1]
+    n = idx.shape[-1]
+    if not _use_onehot(k, n):
+        return [jnp.take(t, idx, axis=-1) for t in tables]
+    rows = []
+    sizes = []
+    for t in tables:
+        assert t.shape[-1] == k, (t.shape, k)
+        flat = t.reshape(-1, k).astype(jnp.float32)
+        rows.append(flat)
+        sizes.append(flat.shape[0])
+    stacked = jnp.concatenate(rows, axis=0)  # (C_total, K)
+    oh = (idx[None, :] == jnp.arange(k, dtype=idx.dtype)[:, None]).astype(jnp.float32)
+    out = lax.dot(stacked, oh, precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)  # (C_total, N)
+    outs = []
+    off = 0
+    for t, c in zip(tables, sizes):
+        part = out[off : off + c].reshape(*t.shape[:-1], n)
+        outs.append(_restore_dtype(part, t.dtype))
+        off += c
+    return outs

@@ -77,11 +77,9 @@ def perlin_turb(tt: TextureTable, p: jnp.ndarray, depth: int = 7) -> jnp.ndarray
     return jnp.abs(accum)
 
 
-def _image_lookup(tt: TextureTable, img_id, i, j):
+def _image_lookup(tt: TextureTable, img_id, w, h, i, j):
     """Gather a texel (atlas rows are pre-v-flipped like the reference's
     loader, texture/mod.rs:96-105). Returns (3, N) in [0, ~1]."""
-    h = tt.atlas_size[0, img_id]
-    w = tt.atlas_size[1, img_id]
     i = jnp.clip(i, 0, w - 1)
     j = jnp.clip(j, 0, h - 1)
     texel = tt.atlas[img_id, :, j, i]  # (N, 3) after advanced indexing
@@ -91,48 +89,26 @@ def _image_lookup(tt: TextureTable, img_id, i, j):
     return texel.astype(jnp.float32) * color_scale
 
 
-def _eval_image(tt: TextureTable, tid, u, v):
+def _eval_image(tt: TextureTable, img_id, w, h, u, v):
     """ImageTexture nearest-neighbor sample (texture/mod.rs:111-138)."""
     u = jnp.clip(u, 0.0, 1.0)
     v = jnp.clip(v, 0.0, 1.0)
-    img_id = tt.img[tid]
-    w = tt.atlas_size[1, img_id]
-    h = tt.atlas_size[0, img_id]
     i = (u * w.astype(jnp.float32)).astype(jnp.int32)
     j = (v * h.astype(jnp.float32)).astype(jnp.int32)
-    return _image_lookup(tt, img_id, i, j)
+    return _image_lookup(tt, img_id, w, h, i, j)
 
 
-def _eval_objuv(tt: TextureTable, tid, tex_uv):
+def _eval_objuv(tt: TextureTable, img_id, w, h, tex_uv):
     """ObjTexture sample (texture/mod.rs:167-188): uv already interpolated
     from the triangle's per-vertex uvs in the hit record; this indexes from
     the image TOP (j = (1-v)*H), so flip against our pre-flipped atlas."""
     u = tex_uv[0]
     v = tex_uv[1]
-    img_id = tt.img[tid]
-    w = tt.atlas_size[1, img_id]
-    h = tt.atlas_size[0, img_id]
     i = (u * w.astype(jnp.float32)).astype(jnp.int32)
     j_top = ((1.0 - v) * h.astype(jnp.float32)).astype(jnp.int32)
     j_top = jnp.clip(j_top, 0, h - 1)
     j = h - 1 - j_top  # atlas is stored bottom-up
-    return _image_lookup(tt, img_id, i, j)
-
-
-def _eval_basic(tt: TextureTable, tid, u, v, p, tex_uv, features: frozenset):
-    """Evaluate non-checker kinds for texture ids ``tid`` -> (3, N)."""
-    kind = tt.kind[tid]
-    value = tt.color[:, tid]  # TEX_SOLID (texture/mod.rs:26-28)
-    if "noise" in features:
-        # NoiseTexture marble (texture/mod.rs:76-78)
-        sc = tt.scale[tid]
-        noise_val = 0.5 * (1.0 + jnp.sin(sc * p[2] + 10.0 * perlin_turb(tt, p)))
-        value = jnp.where(kind[None] == TEX_NOISE, noise_val[None], value)
-    if "image" in features:
-        value = jnp.where(kind[None] == TEX_IMAGE, _eval_image(tt, tid, u, v), value)
-    if "objuv" in features:
-        value = jnp.where(kind[None] == TEX_OBJUV, _eval_objuv(tt, tid, tex_uv), value)
-    return value
+    return _image_lookup(tt, img_id, w, h, i, j)
 
 
 def eval_texture(
@@ -144,14 +120,38 @@ def eval_texture(
     tex_uv: jnp.ndarray,  # (2, N)
     features: frozenset = frozenset(),
 ) -> jnp.ndarray:
-    """Texture value for per-ray texture ids (Texture::value dispatch)."""
-    value = _eval_basic(tt, tid, u, v, p, tex_uv, features)
+    """Texture value for per-ray texture ids (Texture::value dispatch).
+
+    All per-texture rows — including the checker sub-texture colors, which
+    are pre-resolved per texture id with a cheap T-sized static gather —
+    come from ONE one-hot contraction (ops/tables.py); per-ray gathers from
+    small tables are the TPU anti-pattern.
+    """
+    from .tables import take_cols_multi
+
+    # per-texture image sizes pre-resolved with a T-sized static gather
+    tables = [tt.kind, tt.color, tt.scale, tt.img, tt.atlas_size[:, tt.img]]
+    if "checker" in features:
+        # per-texture odd/even solid colors (texture/mod.rs:40-48)
+        tables.append(tt.color[:, tt.sub[0]])
+        tables.append(tt.color[:, tt.sub[1]])
+    rows = take_cols_multi(tables, tid)
+    kind, value, sc, img_id, wh = rows[:5]  # value = TEX_SOLID color (mod.rs:26-28)
+    img_h, img_w = wh[0], wh[1]
+
+    if "noise" in features:
+        # NoiseTexture marble (texture/mod.rs:76-78)
+        noise_val = 0.5 * (1.0 + jnp.sin(sc * p[2] + 10.0 * perlin_turb(tt, p)))
+        value = jnp.where(kind[None] == TEX_NOISE, noise_val[None], value)
+    if "image" in features:
+        img_val = _eval_image(tt, img_id, img_w, img_h, u, v)
+        value = jnp.where(kind[None] == TEX_IMAGE, img_val, value)
+    if "objuv" in features:
+        obj_val = _eval_objuv(tt, img_id, img_w, img_h, tex_uv)
+        value = jnp.where(kind[None] == TEX_OBJUV, obj_val, value)
     if "checker" in features:
         # CheckerTexture sine-product select (texture/mod.rs:52-59).
-        # Sub-textures are solids (the only form the reference constructs).
         sines = jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1]) * jnp.sin(10.0 * p[2])
-        odd = tt.color[:, tt.sub[0, tid]]
-        even = tt.color[:, tt.sub[1, tid]]
-        checker_val = jnp.where((sines < 0.0)[None], odd, even)
-        value = jnp.where(tt.kind[tid][None] == TEX_CHECKER, checker_val, value)
+        checker_val = jnp.where((sines < 0.0)[None], rows[5], rows[6])
+        value = jnp.where(kind[None] == TEX_CHECKER, checker_val, value)
     return value

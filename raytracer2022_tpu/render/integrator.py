@@ -73,6 +73,112 @@ def _background(cfg: TraceConfig, d):
     return scale(white, 1.0 - tt) + scale(blue, tt)
 
 
+class _Vertex(NamedTuple):
+    """Result of evaluating one path vertex for the whole wavefront."""
+
+    radiance_add: jnp.ndarray  # (3, N) throughput-weighted contribution
+    cont: jnp.ndarray  # bool[N] path continues
+    o: jnp.ndarray  # next ray (valid where cont)
+    d: jnp.ndarray
+    tm: jnp.ndarray
+    throughput: jnp.ndarray  # updated throughput (valid where cont)
+
+
+def _eval_vertex(
+    scene: SceneData,
+    cfg: TraceConfig,
+    o,
+    d,
+    tm,
+    throughput,
+    alive,
+    bounce_key,
+) -> _Vertex:
+    """One path vertex: closest-hit -> emitted -> scatter -> MIS sample.
+
+    Shared by the scan integrator (differentiable) and the regeneration
+    integrator (fast forward).  Semantics follow ray_color exactly
+    (main.rs:233-278); see the module docstring for the faithful details.
+    """
+    n = tm.shape[0]
+    features = scene.stats.features
+    has_lights = len(scene.stats.light_ids) > 0
+    k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
+
+    hit = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
+    em = emitted(scene.materials, scene.textures, hit, features)
+    sc = scatter(scene.materials, scene.textures, hit, d, tm, k_scatter, features)
+
+    # --- diffuse branch: 50/50 mixture of light-sample and cosine
+    # (main.rs:263-266, pdf.rs:95-104)
+    cos_dir = cosine_about_normal(k_cos, hit.normal)
+    if has_lights:
+        light_dir = sample_lights(scene, hit.p, k_light)
+        pick_light = jax.random.uniform(k_mix, (n,)) < 0.5
+        new_dir = jnp.where(pick_light[None], light_dir, cos_dir)
+        pdf_val = 0.5 * lights_pdf(scene, hit.p, new_dir, tm) + 0.5 * cos_pdf_value(
+            new_dir, to_unit(hit.normal)
+        )
+    else:
+        # lightless configs (book1/book2): pure cosine importance
+        # sampling — the books' original integrator; the frozen
+        # reference main cannot render these scenes at all (empty
+        # lights list panics), see SURVEY.md §7 step 5.
+        new_dir = cos_dir
+        pdf_val = cos_pdf_value(new_dir, to_unit(hit.normal))
+
+    spdf = scattering_pdf_lambertian(hit.normal, new_dir)
+    lamb = is_lambertian(scene.materials, hit.mat)
+
+    # --- classify
+    miss = alive & ~hit.hit
+    absorb = alive & hit.hit & ~sc.has_scatter
+    specular = alive & hit.hit & sc.has_scatter & sc.is_specular
+    diffuse = alive & hit.hit & sc.has_scatter & ~sc.is_specular & lamb
+    # pdf <= 0 or NaN (the reference gets a NaN sample that blackens the
+    # whole pixel at write_color; we kill the sample, keeping its
+    # radiance so far — see module docstring)
+    pdf_ok = pdf_val > 0.0  # NaN compares False
+    diffuse = diffuse & pdf_ok
+
+    # --- radiance: background on miss; emitted on absorb/diffuse
+    radiance_add = jnp.where(miss[None], throughput * _background(cfg, d), 0.0)
+    radiance_add = radiance_add + jnp.where(
+        (absorb | diffuse)[None], throughput * em, 0.0
+    )
+
+    # --- throughput update (safe divisor on non-diffuse lanes)
+    w_diffuse = sc.attenuation * (spdf / jnp.where(diffuse & pdf_ok, pdf_val, 1.0))[None]
+    throughput = jnp.where(
+        specular[None],
+        throughput * sc.attenuation,
+        jnp.where(diffuse[None], throughput * w_diffuse, throughput),
+    )
+
+    # --- next ray
+    next_dir = jnp.where(specular[None], sc.spec_dir, new_dir)
+    next_tm = jnp.where(specular, sc.spec_time, tm)
+    # origin offset along the face normal, signed toward the outgoing
+    # side; skipped for medium scatters (their "normal" is synthetic)
+    if cfg.spawn_eps > 0.0:
+        is_surface = scene.materials.kind[hit.mat] != ISOTROPIC
+        eps = cfg.spawn_eps * jnp.maximum(1.0, jnp.max(jnp.abs(hit.p), axis=0))
+        side = jnp.sign(dot(hit.normal, next_dir))
+        offset = scale(hit.normal, eps * side * is_surface.astype(jnp.float32))
+        new_o = hit.p + offset
+    else:
+        new_o = hit.p
+
+    return _Vertex(
+        radiance_add=radiance_add,
+        cont=specular | diffuse,
+        o=new_o,
+        d=next_dir,
+        tm=next_tm,
+        throughput=throughput,
+    )
+
+
 def trace(
     scene: SceneData,
     o: jnp.ndarray,  # (3, N)
@@ -81,85 +187,24 @@ def trace(
     key,
     cfg: TraceConfig,
 ) -> jnp.ndarray:
-    """Trace a wavefront to completion -> radiance (3, N)."""
+    """Trace a wavefront to completion -> radiance (3, N).
+
+    Fixed-depth ``lax.scan``: reverse-differentiable (the fit path), at the
+    cost of running every bounce at full wavefront width.  For forward-only
+    rendering :func:`trace_regen` is substantially faster.
+    """
     n = tm.shape[0]
-    features = scene.stats.features
-    has_lights = len(scene.stats.light_ids) > 0
 
     def bounce(carry, bounce_key):
         o, d, tm, throughput, radiance, alive = carry
-        k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
-
-        hit = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
-        em = emitted(scene.materials, scene.textures, hit, features)
-        sc = scatter(scene.materials, scene.textures, hit, d, tm, k_scatter, features)
-
-        # --- diffuse branch: 50/50 mixture of light-sample and cosine
-        # (main.rs:263-266, pdf.rs:95-104)
-        cos_dir = cosine_about_normal(k_cos, hit.normal)
-        if has_lights:
-            light_dir = sample_lights(scene, hit.p, k_light)
-            pick_light = jax.random.uniform(k_mix, (n,)) < 0.5
-            new_dir = jnp.where(pick_light[None], light_dir, cos_dir)
-            pdf_val = 0.5 * lights_pdf(scene, hit.p, new_dir, tm) + 0.5 * cos_pdf_value(
-                new_dir, to_unit(hit.normal)
-            )
-        else:
-            # lightless configs (book1/book2): pure cosine importance
-            # sampling — the books' original integrator; the frozen
-            # reference main cannot render these scenes at all (empty
-            # lights list panics), see SURVEY.md §7 step 5.
-            new_dir = cos_dir
-            pdf_val = cos_pdf_value(new_dir, to_unit(hit.normal))
-
-        spdf = scattering_pdf_lambertian(hit.normal, new_dir)
-        lamb = is_lambertian(scene.materials, hit.mat)
-
-        # --- classify
-        miss = alive & ~hit.hit
-        absorb = alive & hit.hit & ~sc.has_scatter
-        specular = alive & hit.hit & sc.has_scatter & sc.is_specular
-        diffuse = alive & hit.hit & sc.has_scatter & ~sc.is_specular & lamb
-        # pdf <= 0 or NaN (the reference gets a NaN sample that blackens the
-        # whole pixel at write_color; we kill the sample, keeping its
-        # radiance so far — see module docstring)
-        pdf_ok = pdf_val > 0.0  # NaN compares False
-        diffuse = diffuse & pdf_ok
-
-        # --- radiance: background on miss; emitted on absorb/diffuse
-        radiance = radiance + jnp.where(miss[None], throughput * _background(cfg, d), 0.0)
-        radiance = radiance + jnp.where((absorb | diffuse)[None], throughput * em, 0.0)
-
-        # --- throughput update (safe divisor on non-diffuse lanes)
-        w_diffuse = sc.attenuation * (spdf / jnp.where(diffuse & pdf_ok, pdf_val, 1.0))[None]
-        throughput = jnp.where(
-            specular[None],
-            throughput * sc.attenuation,
-            jnp.where(diffuse[None], throughput * w_diffuse, throughput),
-        )
-
-        # --- next ray
-        next_dir = jnp.where(specular[None], sc.spec_dir, new_dir)
-        next_tm = jnp.where(specular, sc.spec_time, tm)
-        # origin offset along the face normal, signed toward the outgoing
-        # side; skipped for medium scatters (their "normal" is synthetic)
-        if cfg.spawn_eps > 0.0:
-            is_surface = scene.materials.kind[hit.mat] != ISOTROPIC
-            eps = cfg.spawn_eps * jnp.maximum(
-                1.0, jnp.max(jnp.abs(hit.p), axis=0)
-            )
-            side = jnp.sign(dot(hit.normal, next_dir))
-            offset = scale(hit.normal, eps * side * is_surface.astype(jnp.float32))
-            new_o = hit.p + offset
-        else:
-            new_o = hit.p
-        cont = specular | diffuse
-        o_out = jnp.where(cont[None], new_o, o)
-        d_out = jnp.where(cont[None], next_dir, d)
-        tm_out = jnp.where(cont, next_tm, tm)
-        alive = cont
-
-        return (o_out, d_out, tm_out, throughput, radiance, alive), None
+        vx = _eval_vertex(scene, cfg, o, d, tm, throughput, alive, bounce_key)
+        radiance = radiance + vx.radiance_add  # already masked by `alive`
+        cont = vx.cont
+        o_out = jnp.where(cont[None], vx.o, o)
+        d_out = jnp.where(cont[None], vx.d, d)
+        tm_out = jnp.where(cont, vx.tm, tm)
+        throughput = jnp.where(cont[None], vx.throughput, throughput)
+        return (o_out, d_out, tm_out, throughput, radiance, cont), None
 
     zeros3 = jnp.zeros((3, n))
     carry = (o, d, tm, jnp.ones((3, n)), zeros3, jnp.ones((n,), dtype=bool))
@@ -171,3 +216,72 @@ def trace(
         carry, _ = jax.lax.scan(jax.checkpoint(bounce), carry, bounce_keys)
     _, _, _, _, radiance, _ = carry
     return radiance
+
+
+def trace_regen(
+    scene: SceneData,
+    gen_rays,  # (sample_key) -> (o (3,N), d (3,N), tm (N,)) fresh camera rays
+    spp_seq: int,  # samples each lane must complete
+    key,
+    cfg: TraceConfig,
+) -> jnp.ndarray:
+    """Path-regeneration wavefront -> per-lane radiance SUM over spp_seq.
+
+    TPU-native scheduling win over the fixed-depth scan: when a sample
+    terminates (miss / absorbed / pdf-kill / depth cap) its lane immediately
+    starts the NEXT sample of the same pixel, so every iteration runs at
+    ~full lane occupancy.  Total iterations ~= spp_seq * E[path length]
+    instead of spp_seq * max_depth — typically 4-8x fewer vertex
+    evaluations.  The per-sample estimator is IDENTICAL to :func:`trace`
+    (same vertex math, same termination rules); only the schedule differs.
+
+    ``lax.while_loop`` exits when every lane has finished its quota; this is
+    forward-only (not reverse-differentiable) — the fit path uses ``trace``.
+    """
+    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0))
+    n = tm0.shape[0]
+    zeros3 = jnp.zeros((3, n))
+    max_iter = spp_seq * cfg.max_depth + 1  # hard safety bound
+
+    def cond(state):
+        it, _, _, _, _, _, done, _ = state
+        return (it < max_iter) & jnp.any(done < spp_seq)
+
+    def body(state):
+        it, o, d, tm, throughput, radiance, done, depth = state
+        working = done < spp_seq
+        step_key = jax.random.fold_in(key, it + 1)
+        k_vertex, k_regen = jax.random.split(step_key)
+
+        vx = _eval_vertex(scene, cfg, o, d, tm, throughput, working, k_vertex)
+        radiance = radiance + vx.radiance_add  # masked by `working`
+
+        depth = depth + 1
+        cont = vx.cont & (depth < cfg.max_depth)  # depth cap = black tail
+        finished = working & ~cont  # this sample just completed
+        done = done + finished.astype(done.dtype)
+
+        # regenerate finished lanes that still have samples left
+        o_new, d_new, tm_new = gen_rays(k_regen)
+        regen = finished[None]
+        o = jnp.where(regen, o_new, jnp.where(cont[None], vx.o, o))
+        d = jnp.where(regen, d_new, jnp.where(cont[None], vx.d, d))
+        tm = jnp.where(finished, tm_new, jnp.where(cont, vx.tm, tm))
+        throughput = jnp.where(
+            regen, 1.0, jnp.where(cont[None], vx.throughput, throughput)
+        )
+        depth = jnp.where(finished, 0, depth)
+        return (it + 1, o, d, tm, throughput, radiance, done, depth)
+
+    state = (
+        jnp.int32(0),
+        o0,
+        d0,
+        tm0,
+        jnp.ones((3, n)),
+        zeros3,
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[5]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..scene.types import SceneData
 from .camera import Camera, get_rays
 from .film import tonemap_u8
-from .integrator import TraceConfig, trace
+from .integrator import TraceConfig, trace, trace_regen
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,7 +36,8 @@ class RenderConfig:
     t_min: float = 1e-3
     spawn_eps: float = 1e-4
     spp_per_batch: int = 0  # 0 = auto (bound rays/launch); -1 = single launch
-    max_rays_per_batch: int = 1 << 19  # auto-batching target
+    max_rays_per_batch: int = 1 << 19  # auto-batching target (lanes per launch)
+    regen: bool = True  # path-regeneration integrator for forward renders
 
     def trace_cfg(self) -> TraceConfig:
         return TraceConfig(
@@ -74,8 +75,40 @@ def render_batch(
     return jnp.sum(radiance.reshape(3, height, width, spp), axis=3)
 
 
+def render_batch_regen(
+    scene: SceneData,
+    camera: Camera,
+    key,
+    width: int,
+    height: int,
+    spp_par: int,  # lanes per pixel
+    spp_seq: int,  # samples each lane completes sequentially
+    cfg: TraceConfig,
+) -> jnp.ndarray:
+    """One device launch via path regeneration -> (3, H, W) radiance SUM
+    over ``spp_par * spp_seq`` samples.  See integrator.trace_regen."""
+    n = height * width * spp_par
+    ys = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width * spp_par)
+    xs = jnp.tile(jnp.repeat(jnp.arange(width, dtype=jnp.float32), spp_par), height)
+    k_trace = jax.random.fold_in(key, 0x5EED)
+
+    def gen_rays(sample_key):
+        k_u, k_v, k_cam = jax.random.split(sample_key, 3)
+        u = (xs + jax.random.uniform(k_u, (n,))) / (width - 1)
+        v = (ys + jax.random.uniform(k_v, (n,))) / (height - 1)
+        return get_rays(camera, u, v, k_cam)
+
+    radiance = trace_regen(scene, gen_rays, spp_seq, k_trace, cfg)  # (3, N)
+    return jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
+
+
 _render_batch_jit = jax.jit(
     render_batch, static_argnames=("width", "height", "spp", "cfg")
+)
+
+_render_batch_regen_jit = jax.jit(
+    render_batch_regen,
+    static_argnames=("width", "height", "spp_par", "spp_seq", "cfg"),
 )
 
 
@@ -96,6 +129,23 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig):
         # auto: keep each device launch under max_rays_per_batch rays so
         # launches stay short and transient memory bounded
         batch = min(cfg.spp, max(1, cfg.max_rays_per_batch // (cfg.width * cfg.height)))
+
+    if cfg.regen:
+        # one launch: `batch` parallel lanes per pixel, each tracing
+        # ceil(spp / batch) samples sequentially with regeneration
+        spp_seq = -(-cfg.spp // batch)
+        total = _render_batch_regen_jit(
+            scene,
+            camera,
+            key,
+            width=cfg.width,
+            height=cfg.height,
+            spp_par=batch,
+            spp_seq=spp_seq,
+            cfg=tcfg,
+        )
+        return total, batch * spp_seq
+
     n_batches = -(-cfg.spp // batch)
     total = jnp.zeros((3, cfg.height, cfg.width))
     for i in range(n_batches):

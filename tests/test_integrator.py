@@ -125,3 +125,31 @@ def test_render_sum_batching_invariance():
     bsum = np.asarray(render_sum(scene, cam, cfg_b)) / 8
     # different RNG partitioning -> only statistically equal
     assert np.abs(a - bsum).mean() < 0.15
+
+
+def test_regen_matches_scan_statistically():
+    """trace_regen computes the same estimator as trace: on a scene where
+    every path terminates within the depth cap, the image means must agree
+    within Monte-Carlo error (the schedules differ, so not bitwise)."""
+    from raytracer2022_tpu.render.renderer import render_batch_regen
+
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0, b.lambertian((0.6, 0.5, 0.4)))
+    b.sphere((0, 1, 0), 0.7, b.metal((0.8, 0.8, 0.8), 0.1))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -6), (0, 1, 0), (0, 1, 0), 45, 1.0)
+    cfg = TraceConfig(max_depth=16, background=(0.0, 0.0, 0.0))
+
+    spp = 64
+    a = np.asarray(render_batch(scene, cam, KEY, 24, 24, spp, cfg)) / spp
+    r = np.asarray(
+        render_batch_regen(scene, cam, KEY, 24, 24, 8, spp // 8, cfg)
+    ) / spp
+    # same estimator, independent streams: means agree within MC noise
+    np.testing.assert_allclose(a.mean(), r.mean(), rtol=0.05)
+    np.testing.assert_allclose(
+        a.mean(axis=(1, 2)), r.mean(axis=(1, 2)), rtol=0.08
+    )

@@ -23,7 +23,7 @@ def _compare_prim(scene, oracle_fn, o, d, tm, t_min=1e-3, t_max=1e9, rtol=2e-4):
     n = o.shape[1]
     for i in range(n):
         expect = oracle_fn(o[:, i].astype(np.float64), d[:, i].astype(np.float64), i)
-        got = t[i, 0]
+        got = t[0, i]  # candidate_t layout: (prim, ray)
         if expect is None:
             assert not np.isfinite(got), f"ray {i}: oracle miss but got t={got}"
         else:

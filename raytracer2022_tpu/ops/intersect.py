@@ -68,11 +68,17 @@ def _sphere_t(center, radius, o, d, t_min, t_max):
 
     Accepts a root iff ``t_min <= root <= t_max`` (the reference rejects on
     ``root < t_min || t_max < root``).
+
+    Written in component form: stacked (3, P, N) temporaries defeat XLA's
+    reduce-fusion in the dense prim-chunk scan and get materialized; plain
+    (P, N) component arithmetic fuses into the final min/argmin.
     """
-    oc = o - center
-    a = dot(d, d)
-    half_b = dot(oc, d)
-    c = dot(oc, oc) - radius * radius
+    ocx = o[0] - center[0]
+    ocy = o[1] - center[1]
+    ocz = o[2] - center[2]
+    a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    half_b = ocx * d[0] + ocy * d[1] + ocz * d[2]
+    c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
     disc = half_b * half_b - a * c
     ok = disc >= 0.0
     sq = masked_sqrt(disc, ok)  # grad-safe: no sqrt'(0)=inf on missed lanes
@@ -86,12 +92,15 @@ def _sphere_t(center, radius, o, d, t_min, t_max):
 def _msphere_center(p, tm):
     """Lerped center at ray time (sphere.rs:124-127). p: (16, ...) params.
 
+    Returns component tuple (cx, cy, cz) — see _sphere_t's layout note.
     safe_div: non-msphere rows have zero t0/t1 and this branch is masked out.
     """
-    c0 = vec3(p[0], p[1], p[2])
-    c1 = vec3(p[4], p[5], p[6])
     frac = safe_div(tm - p[7], p[8] - p[7])
-    return c0 + scale(c1 - c0, frac)
+    return (
+        p[0] + (p[4] - p[0]) * frac,
+        p[1] + (p[5] - p[1]) * frac,
+        p[2] + (p[6] - p[2]) * frac,
+    )
 
 
 def _axis_select(v, axis):
@@ -135,20 +144,44 @@ def _rect_t(p, o, d, t_min, t_max):
 
 
 def _tri_t(p, o, d, t_min, t_max):
-    """Plane hit + three cross-product sign tests (triangle.rs:33-63)."""
-    a = vec3(p[0], p[1], p[2])
-    b = vec3(p[3], p[4], p[5])
-    c = vec3(p[6], p[7], p[8])
-    ncr = cross(b - a, c - a)
-    nlen = jnp.sqrt(dot(ncr, ncr))
-    n = ncr / jnp.where(nlen == 0.0, 1.0, nlen)[None]  # non-tri rows: zeros
-    denom = dot(d, n)
-    t = safe_div(dot(a - o, n), denom)
-    pt = o + scale(d, t)
+    """Plane hit + three cross-product sign tests (triangle.rs:33-63).
+
+    Component form throughout — see _sphere_t's layout note.
+    """
+
+    def sub(ax, ay, az, bx, by, bz):
+        return ax - bx, ay - by, az - bz
+
+    def crs(ax, ay, az, bx, by, bz):
+        return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+    def dt(ax, ay, az, bx, by, bz):
+        return ax * bx + ay * by + az * bz
+
+    ax, ay, az = p[0], p[1], p[2]
+    bx, by, bz = p[3], p[4], p[5]
+    cx, cy, cz = p[6], p[7], p[8]
+    ab = sub(bx, by, bz, ax, ay, az)
+    ac = sub(cx, cy, cz, ax, ay, az)
+    nx, ny, nz = crs(*ab, *ac)
+    nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv = 1.0 / jnp.where(nlen == 0.0, 1.0, nlen)  # non-tri rows: zeros
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    denom = dt(d[0], d[1], d[2], nx, ny, nz)
+    t = safe_div(dt(ax - o[0], ay - o[1], az - o[2], nx, ny, nz), denom)
+    px, py, pz = o[0] + d[0] * t, o[1] + d[1] * t, o[2] + d[2] * t
+
+    ca = sub(ax, ay, az, cx, cy, cz)  # a - c = -(c - a)
+    e0 = crs(-ca[0], -ca[1], -ca[2], px - ax, py - ay, pz - az)
+    r0 = crs(-ca[0], -ca[1], -ca[2], *ab)
+    ba = sub(ax, ay, az, bx, by, bz)  # a - b
+    e1 = crs(*ba, px - bx, py - by, pz - bz)
+    r1 = crs(*ba, cx - bx, cy - by, cz - bz)
+    cb = sub(bx, by, bz, cx, cy, cz)  # b - c
+    e2 = crs(*cb, px - cx, py - cy, pz - cz)
+    r2 = crs(*cb, ax - cx, ay - cy, az - cz)
     inside = (
-        (dot(cross(c - a, pt - a), cross(c - a, b - a)) >= 0.0)
-        & (dot(cross(a - b, pt - b), cross(a - b, c - b)) >= 0.0)
-        & (dot(cross(b - c, pt - c), cross(b - c, a - c)) >= 0.0)
+        (dt(*e0, *r0) >= 0.0) & (dt(*e1, *r1) >= 0.0) & (dt(*e2, *r2) >= 0.0)
     )
     valid = (
         (denom != 0.0)
@@ -179,7 +212,7 @@ def _ring_t(p, o, d, t_min, t_max):
 def _t_for_kind(k: int, p, o, d, tm, t_min, t_max):
     """Single-kind candidate t (k is a static Python int)."""
     if k == SPHERE:
-        return _sphere_t(vec3(p[0], p[1], p[2]), p[3], o, d, t_min, t_max)
+        return _sphere_t((p[0], p[1], p[2]), p[3], o, d, t_min, t_max)
     if k == MSPHERE:
         return _sphere_t(_msphere_center(p, tm), p[3], o, d, t_min, t_max)
     if k == RECT:
@@ -469,6 +502,9 @@ def traverse_bvh(
 
     t_best0 = jnp.full((nb, block), INF)
     leaf_size = scene.stats.bvh_leaf_size
+    # pack row layout (scene/builder.py finalize): meta then per-slot rows
+    slot_stride = 17 + (13 if scene.any_xform else 0)
+    node_iota = jnp.arange(n_nodes, dtype=jnp.int32)[:, None]  # (Nn, 1)
 
     def cond(state):
         node, _, _ = state
@@ -479,8 +515,19 @@ def traverse_bvh(
         blk_live = node < n_nodes
         nd = jnp.minimum(node, n_nodes - 1)
 
-        bmin = bvh.bmin[:, nd][:, :, None]  # (3, nb, 1)
-        bmax = bvh.bmax[:, nd][:, :, None]
+        # ONE one-hot MXU dot fetches every per-node row for all blocks —
+        # per-node gathers here were the dominant cost of mesh scenes
+        oh = (nd[None, :] == node_iota).astype(jnp.float32)  # (Nn, nb)
+        fetch = jax.lax.dot(
+            bvh.pack, oh, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (R, nb)
+
+        bmin = fetch[0:3][:, :, None]  # (3, nb, 1)
+        bmax = fetch[3:6][:, :, None]
+        skip_f = fetch[6]  # [nb] f32 (exact small ints)
+        leaf_cnt = fetch[7]  # [nb] f32
+
         t0 = (bmin - ob) * inv_d
         t1 = (bmax - ob) * inv_d
         near = jnp.where(inv_d < 0.0, t1, t0)
@@ -491,21 +538,21 @@ def traverse_bvh(
         hit_box = tmax_r > tmin_r  # (nb, block)
         any_hit = jnp.any(hit_box, axis=1) & blk_live  # [nb]
 
-        leaf_cnt = bvh.leaf_count[nd]  # [nb]
-        start = bvh.leaf_start[nd]
-        is_leaf = (leaf_cnt > 0) & any_hit
+        is_leaf = (leaf_cnt > 0.0) & any_hit
 
         for j in range(leaf_size):
-            pid = jnp.clip(start + j, 0, scene.n_prims - 1)  # [nb]
+            base = 8 + j * slot_stride
             valid = is_leaf & (j < leaf_cnt)  # [nb]
             # one prim per block, broadcast across lanes: dense, no gathers
-            p = scene.params[:, pid][:, :, None]  # (16, nb, 1)
+            p = fetch[base : base + 16][:, :, None]  # (16, nb, 1)
+            pid = fetch[base + 16].astype(jnp.int32)  # [nb]
             oo, dd = ob, db
             if scene.any_xform:
+                xf = fetch[base + 17 : base + 17 + 13]
                 oo, dd = _xform_rays(
-                    scene.xf_rot[:, :, pid][:, :, :, None],
-                    scene.xf_trans[:, pid][:, :, None],
-                    scene.xf_inv_scale[pid][:, None],
+                    xf[0:9].reshape(3, 3, nb, 1),
+                    xf[9:12][:, :, None],
+                    xf[12][:, None],
                     ob,
                     db,
                 )
@@ -516,8 +563,12 @@ def traverse_bvh(
             t_best = jnp.where(upd, t_j, t_best)
             best = jnp.where(upd, pid[:, None], best)
 
-        descend = any_hit & (leaf_cnt == 0)
-        node = jnp.where(blk_live, jnp.where(descend, nd + 1, bvh.skip[nd]), node)
+        descend = any_hit & (leaf_cnt == 0.0)
+        node = jnp.where(
+            blk_live,
+            jnp.where(descend, nd + 1, skip_f.astype(jnp.int32)),
+            node,
+        )
         return node, t_best, best
 
     node0 = jnp.zeros((nb,), dtype=jnp.int32)
@@ -601,7 +652,7 @@ def hit_details(
         # sphere / moving sphere (sphere.rs:58-66, 138-165)
         c_static = vec3(p[0], p[1], p[2])
         if MSPHERE in kinds:
-            center = jnp.where(k == MSPHERE, _msphere_center(p, tm), c_static)
+            center = jnp.where(k == MSPHERE, vec3(*_msphere_center(p, tm)), c_static)
         else:
             center = c_static
         n_sphere = (pt - center) / jnp.where(p[3] == 0.0, 1.0, p[3])[None]

@@ -44,16 +44,20 @@ def perlin_noise(tt: TextureTable, p: jnp.ndarray) -> jnp.ndarray:
     uvw2 = _hermite(uvw1)  # double-smoothed weights (uu,vv,ww)
     ijk = fl.astype(jnp.int32)  # (3, N)
 
+    from .tables import take_cols
+
+    # per-axis permutation lookups: one one-hot contraction per axis/offset
+    # (per-ray gathers from the 256-entry tables are the TPU anti-pattern)
+    perm = [
+        [take_cols(tt.perlin_perm[a], (ijk[a] + off) & 255) for off in range(2)]
+        for a in range(3)
+    ]
     accum = jnp.zeros_like(p[0])
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                idx = (
-                    tt.perlin_perm[0, (ijk[0] + di) & 255]
-                    ^ tt.perlin_perm[1, (ijk[1] + dj) & 255]
-                    ^ tt.perlin_perm[2, (ijk[2] + dk) & 255]
-                )
-                g = tt.perlin_vec[:, idx]  # (3, N)
+                idx = perm[0][di] ^ perm[1][dj] ^ perm[2][dk]
+                g = take_cols(tt.perlin_vec, idx)  # (3, N)
                 w0 = uvw1[0] - di
                 w1 = uvw1[1] - dj
                 w2 = uvw1[2] - dk

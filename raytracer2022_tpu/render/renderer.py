@@ -132,7 +132,11 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig):
 
     if cfg.regen:
         # one launch: `batch` parallel lanes per pixel, each tracing
-        # ceil(spp / batch) samples sequentially with regeneration
+        # ceil(spp / batch) samples sequentially with regeneration.
+        # Regeneration only pays when each lane runs several samples, so cap
+        # the parallel split to keep spp_seq >= 8 (when spp allows).
+        if cfg.spp_per_batch == 0:
+            batch = max(1, min(batch, cfg.spp // 8))
         spp_seq = -(-cfg.spp // batch)
         total = _render_batch_regen_jit(
             scene,

@@ -453,15 +453,7 @@ class SceneBuilder:
             lo = sum(len(p) for p in tree_perm_parts)
             tree_perm_parts.append(ids[order])
             trees.append((k, lo, lo + len(ids)))
-            bvhs.append(
-                BvhArrays(
-                    bmin=jnp.asarray(nodes["bmin"]),
-                    bmax=jnp.asarray(nodes["bmax"]),
-                    leaf_start=jnp.asarray(nodes["leaf_start"] + lo),
-                    leaf_count=jnp.asarray(nodes["leaf_count"]),
-                    skip=jnp.asarray(nodes["skip"]),
-                )
-            )
+            bvhs.append({**nodes, "leaf_start": nodes["leaf_start"] + lo})
         n_in_bvh = sum(len(p) for p in tree_perm_parts)
         in_tree = np.zeros(n, dtype=bool)
         for p in tree_perm_parts:
@@ -485,6 +477,40 @@ class SceneBuilder:
         mediums = tuple(
             (int(inv[pid]), int(inv[b0]), cnt) for pid, b0, cnt in self.mediums
         )
+
+        # --- pack per-node traversal data (types.BvhArrays.pack) ---
+        # Rows: node meta [bmin(3), bmax(3), skip, leaf_count] then per leaf
+        # slot j: the prim's params(16) + prim_id (+ xf rows when needed).
+        # Fetched per traversal step by ONE one-hot MXU dot instead of many
+        # tiny per-node gathers (the former hot spot of mesh scenes).
+        bvh_arrays = []
+        for nd in bvhs:
+            nn = len(nd["skip"])
+            rows = [
+                nd["bmin"].astype(np.float32),
+                nd["bmax"].astype(np.float32),
+                nd["skip"][None].astype(np.float32),
+                nd["leaf_count"][None].astype(np.float32),
+            ]
+            for j in range(leaf_size):
+                pid = np.minimum(nd["leaf_start"] + j, n - 1)  # clamped slot
+                rows.append(params[:, pid])
+                rows.append(pid[None].astype(np.float32))
+                if any_xform:
+                    rows.append(xf_rot[:, :, pid].reshape(9, nn))
+                    rows.append(xf_trans[:, pid])
+                    rows.append(xf_inv_scale[None, pid])
+            bvh_arrays.append(
+                BvhArrays(
+                    bmin=jnp.asarray(nd["bmin"]),
+                    bmax=jnp.asarray(nd["bmax"]),
+                    leaf_start=jnp.asarray(nd["leaf_start"]),
+                    leaf_count=jnp.asarray(nd["leaf_count"]),
+                    skip=jnp.asarray(nd["skip"]),
+                    pack=jnp.asarray(np.concatenate(rows, axis=0)),
+                )
+            )
+        bvhs = bvh_arrays
 
         # homogeneous kind windows over the brute-forced region
         kind_ranges = []

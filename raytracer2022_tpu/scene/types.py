@@ -118,6 +118,13 @@ class BvhArrays:
     leaf_start: jnp.ndarray  # i32[Nn]
     leaf_count: jnp.ndarray  # i32[Nn] (0 for internal nodes)
     skip: jnp.ndarray  # i32[Nn]
+    # packed per-node data for the traversal's one-dot fetch: rows =
+    # [bmin(3), bmax(3), skip(1), leaf_count(1)] then per leaf slot j:
+    # [params(16), prim_id(1)] (+ [rot(9), trans(3), inv_scale(1)] per slot
+    # when the scene has transforms).  All f32 (ids/links exact < 2^24).
+    # Per-step gathers from this by node id were the traversal bottleneck;
+    # a one-hot MXU contraction over the (few) ray blocks replaces them.
+    pack: jnp.ndarray  # f32[R, Nn]
 
 
 @dataclasses.dataclass(frozen=True)

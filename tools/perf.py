@@ -18,6 +18,7 @@ def main(argv=None) -> int:
     ap.add_argument("--size", default="128x128")
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--scan", action="store_true", help="use the scan integrator")
     args = ap.parse_args(argv)
 
     import jax
@@ -31,7 +32,7 @@ def main(argv=None) -> int:
         pass
 
     from raytracer2022_tpu import RenderConfig, make_camera
-    from raytracer2022_tpu.render.renderer import render_batch
+    from raytracer2022_tpu.render.renderer import render_batch, render_batch_regen
     from raytracer2022_tpu.scene.library import SCENES
 
     h, w = (int(x) for x in args.size.split("x"))
@@ -47,7 +48,14 @@ def main(argv=None) -> int:
             background=bundle.background,
         )
         tcfg = cfg.trace_cfg()
-        fn = jax.jit(lambda s, c, k: render_batch(s, c, k, w, h, args.spp, tcfg))
+        if args.scan:
+            fn = jax.jit(lambda s, c, k: render_batch(s, c, k, w, h, args.spp, tcfg))
+        else:
+            spp_par = max(1, min(args.spp // 8, (1 << 19) // (w * h)))
+            spp_seq = -(-args.spp // spp_par)
+            fn = jax.jit(
+                lambda s, c, k: render_batch_regen(s, c, k, w, h, spp_par, spp_seq, tcfg)
+            )
         key = jax.random.PRNGKey(0)
 
         def sync(r):

@@ -603,23 +603,28 @@ def hit_details(
     t_best,
     best,
     hit_mask,
-) -> Hit:
+):
     """Reconstruct the full hit record for the winning primitive.
 
     Gathers the winning prim's row per ray and evaluates the per-kind
     normal/uv formulas masked on kind, all at O(N) (not O(N*P)).  All
-    per-prim tables are fetched in ONE one-hot contraction (ops/tables.py)
-    — per-ray gathers from small tables are the TPU anti-pattern.
+    per-prim tables — geometry AND the resolved material/texture shading
+    rows (ops/shade.py) — are fetched in ONE one-hot contraction
+    (ops/tables.py); per-ray gathers from small tables are the TPU
+    anti-pattern.  Returns ``(Hit, Shade)``.
     """
+    from .shade import shade_from_rows, shade_table
     from .tables import take_cols_multi
 
+    srows_p = shade_table(scene)  # (S, P), differentiable into the tables
     if scene.any_xform:
-        p, kind, mat, flip, rot_f, trans, inv_s = take_cols_multi(
+        p, kind, mat, flip, srows, rot_f, trans, inv_s = take_cols_multi(
             [
                 scene.params,
                 scene.kind,
                 scene.mat_id,
                 scene.flip,
+                srows_p,
                 scene.xf_rot.reshape(9, -1),
                 scene.xf_trans,
                 scene.xf_inv_scale,
@@ -629,10 +634,11 @@ def hit_details(
         rot = rot_f.reshape(3, 3, -1)
         oo, od = _xform_rays(rot, trans, inv_s, o, d)
     else:
-        p, kind, mat, flip = take_cols_multi(
-            [scene.params, scene.kind, scene.mat_id, scene.flip], best
+        p, kind, mat, flip, srows = take_cols_multi(
+            [scene.params, scene.kind, scene.mat_id, scene.flip, srows_p], best
         )
         oo, od = o, d
+    shade = shade_from_rows(srows, scene.stats.features)
 
     pt = oo + scale(od, t_best)  # object-space hit point
 
@@ -729,17 +735,20 @@ def hit_details(
     # FlipFace toggles front_face only (hittable/mod.rs:279-284)
     front = front ^ flip
 
-    return Hit(
-        hit=hit_mask,
-        t=t_best,
-        prim=best,
-        p=p_world,
-        normal=n_world,
-        front=front,
-        u=u,
-        v=v,
-        tex_uv=jnp.stack([tex_u, tex_v], axis=0),
-        mat=mat,
+    return (
+        Hit(
+            hit=hit_mask,
+            t=t_best,
+            prim=best,
+            p=p_world,
+            normal=n_world,
+            front=front,
+            u=u,
+            v=v,
+            tex_uv=jnp.stack([tex_u, tex_v], axis=0),
+            mat=mat,
+        ),
+        shade,
     )
 
 
@@ -805,8 +814,8 @@ def closest_hit(
     t_min,
     t_max,
     key,
-) -> Hit:
-    """Closest hit over the whole scene.
+):
+    """Closest hit over the whole scene -> ``(Hit, Shade)``.
 
     Small scenes: one fused brute-force O(N*P) pass (beats any traversal for
     P up to a few hundred on the VPU).  Large scenes: BVH walk over the

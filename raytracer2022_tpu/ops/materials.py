@@ -1,10 +1,15 @@
-"""Batched material scatter / emission over the flat material table.
+"""Batched material scatter / emission from pre-fetched shading rows.
 
 Replaces the reference's ``Material`` trait objects
 (reference: raytracer/src/material/mod.rs:15-231) with one masked scatter
 pass switching on integer ``kind``.  Albedo/emission colors, metal fuzz and
 dielectric IOR live in differentiable table leaves, which is what makes the
 whole renderer differentiable w.r.t. materials.
+
+All per-ray material/texture parameters arrive pre-fetched in an
+:class:`~raytracer2022_tpu.ops.shade.Shade` (fetched together with the
+geometry rows in ``hit_details``' single one-hot contraction); only global
+resources (perlin tables, image atlas) are read from the texture table here.
 """
 
 from __future__ import annotations
@@ -19,27 +24,16 @@ from ..scene.types import (
     DIELECTRIC,
     DIFFUSE_LIGHT,
     ISOTROPIC,
-    LAMBERTIAN,
     METAL,
-    MaterialTable,
     TextureTable,
 )
 from .intersect import Hit
 from .sampling import uniform_in_unit_sphere
-from .tables import take_cols_multi
-from .textures import eval_texture
+from .shade import Shade
+from .textures import eval_texture_shade
 from .vecmath import dot, reflect, refract, scale, to_unit
 
 PI = math.pi
-
-
-def _mat_rows(mt: MaterialTable, mat: jnp.ndarray):
-    """Per-ray (kind, tex, param) in one one-hot contraction.
-
-    Always fetches all three so the dot is identical across emitted/scatter
-    call sites and XLA CSEs it to a single kernel.
-    """
-    return take_cols_multi([mt.kind, mt.tex, mt.param], mat)
 
 
 @flax.struct.dataclass
@@ -54,22 +48,21 @@ class Scatter:
 
 
 def emitted(
-    mt: MaterialTable,
     tt: TextureTable,
+    shade: Shade,
     hit: Hit,
     features: frozenset,
 ) -> jnp.ndarray:
     """DiffuseLight::emitted — texture value only on front faces
     (material/mod.rs:174-180); all other kinds emit black."""
-    kind, tex, _ = _mat_rows(mt, hit.mat)
-    is_light = kind == DIFFUSE_LIGHT
-    value = eval_texture(tt, tex, hit.u, hit.v, hit.p, hit.tex_uv, features)
+    is_light = shade.mat_kind == DIFFUSE_LIGHT
+    value = eval_texture_shade(tt, shade, hit.u, hit.v, hit.p, hit.tex_uv, features)
     return jnp.where((is_light & hit.front & hit.hit)[None], value, 0.0)
 
 
 def scatter(
-    mt: MaterialTable,
     tt: TextureTable,
+    shade: Shade,
     hit: Hit,
     d_in: jnp.ndarray,  # f32[3, N] incoming ray direction
     tm: jnp.ndarray,  # f32[N] incoming ray time
@@ -77,10 +70,11 @@ def scatter(
     features: frozenset,
 ) -> Scatter:
     """One masked pass implementing all five scatter functions."""
-    kind, tex, param = _mat_rows(mt, hit.mat)
+    kind = shade.mat_kind
+    param = shade.mat_param
     n = hit.normal
 
-    albedo = eval_texture(tt, tex, hit.u, hit.v, hit.p, hit.tex_uv, features)
+    albedo = eval_texture_shade(tt, shade, hit.u, hit.v, hit.p, hit.tex_uv, features)
 
     k_fuzz, k_diel, k_iso = jax.random.split(key, 3)
     shape = tm.shape
@@ -137,8 +131,3 @@ def scattering_pdf_lambertian(normal: jnp.ndarray, scattered_dir: jnp.ndarray) -
     """Lambertian::scattering_pdf = max(cos, 0)/pi (material/mod.rs:58-65)."""
     cosine = dot(normal, to_unit(scattered_dir))
     return jnp.where(cosine < 0.0, 0.0, cosine / PI)
-
-
-def is_lambertian(mt: MaterialTable, mat: jnp.ndarray) -> jnp.ndarray:
-    kind, _, _ = _mat_rows(mt, mat)
-    return kind == LAMBERTIAN

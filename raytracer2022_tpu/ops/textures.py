@@ -115,6 +115,41 @@ def _eval_objuv(tt: TextureTable, img_id, w, h, tex_uv):
     return _image_lookup(tt, img_id, w, h, i, j)
 
 
+def eval_texture_shade(
+    tt: TextureTable,
+    shade,  # ops.shade.Shade — pre-fetched per-ray texture rows
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    p: jnp.ndarray,  # (3, N)
+    tex_uv: jnp.ndarray,  # (2, N)
+    features: frozenset = frozenset(),
+) -> jnp.ndarray:
+    """Texture value from pre-fetched shading rows (Texture::value dispatch).
+
+    The per-ray table fetches live in ``hit_details``' single one-hot
+    contraction (ops/shade.py); only the global resources — perlin tables,
+    the image atlas — are read here.
+    """
+    kind = shade.tex_kind
+    value = shade.color  # TEX_SOLID (texture/mod.rs:26-28)
+    if "noise" in features:
+        # NoiseTexture marble (texture/mod.rs:76-78)
+        noise_val = 0.5 * (1.0 + jnp.sin(shade.scale * p[2] + 10.0 * perlin_turb(tt, p)))
+        value = jnp.where(kind[None] == TEX_NOISE, noise_val[None], value)
+    if "image" in features:
+        img_val = _eval_image(tt, shade.img, shade.img_w, shade.img_h, u, v)
+        value = jnp.where(kind[None] == TEX_IMAGE, img_val, value)
+    if "objuv" in features:
+        obj_val = _eval_objuv(tt, shade.img, shade.img_w, shade.img_h, tex_uv)
+        value = jnp.where(kind[None] == TEX_OBJUV, obj_val, value)
+    if "checker" in features:
+        # CheckerTexture sine-product select (texture/mod.rs:52-59)
+        sines = jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1]) * jnp.sin(10.0 * p[2])
+        checker_val = jnp.where((sines < 0.0)[None], shade.odd, shade.even)
+        value = jnp.where(kind[None] == TEX_CHECKER, checker_val, value)
+    return value
+
+
 def eval_texture(
     tt: TextureTable,
     tid: jnp.ndarray,  # i32[N]

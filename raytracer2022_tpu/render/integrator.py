@@ -41,15 +41,10 @@ import jax.numpy as jnp
 
 from ..ops.intersect import closest_hit
 from ..ops.lights import lights_pdf, sample_lights
-from ..ops.materials import (
-    emitted,
-    is_lambertian,
-    scatter,
-    scattering_pdf_lambertian,
-)
+from ..ops.materials import emitted, scatter, scattering_pdf_lambertian
 from ..ops.sampling import cos_pdf_value, cosine_about_normal
 from ..ops.vecmath import dot, scale, to_unit, vec3
-from ..scene.types import ISOTROPIC, SceneData
+from ..scene.types import ISOTROPIC, LAMBERTIAN, SceneData
 
 
 class TraceConfig(NamedTuple):
@@ -105,9 +100,9 @@ def _eval_vertex(
     has_lights = len(scene.stats.light_ids) > 0
     k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
 
-    hit = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
-    em = emitted(scene.materials, scene.textures, hit, features)
-    sc = scatter(scene.materials, scene.textures, hit, d, tm, k_scatter, features)
+    hit, shade = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
+    em = emitted(scene.textures, shade, hit, features)
+    sc = scatter(scene.textures, shade, hit, d, tm, k_scatter, features)
 
     # --- diffuse branch: 50/50 mixture of light-sample and cosine
     # (main.rs:263-266, pdf.rs:95-104)
@@ -128,7 +123,7 @@ def _eval_vertex(
         pdf_val = cos_pdf_value(new_dir, to_unit(hit.normal))
 
     spdf = scattering_pdf_lambertian(hit.normal, new_dir)
-    lamb = is_lambertian(scene.materials, hit.mat)
+    lamb = shade.mat_kind == LAMBERTIAN
 
     # --- classify
     miss = alive & ~hit.hit
@@ -161,7 +156,7 @@ def _eval_vertex(
     # origin offset along the face normal, signed toward the outgoing
     # side; skipped for medium scatters (their "normal" is synthetic)
     if cfg.spawn_eps > 0.0:
-        is_surface = scene.materials.kind[hit.mat] != ISOTROPIC
+        is_surface = shade.mat_kind != ISOTROPIC
         eps = cfg.spawn_eps * jnp.maximum(1.0, jnp.max(jnp.abs(hit.p), axis=0))
         side = jnp.sign(dot(hit.normal, next_dir))
         offset = scale(hit.normal, eps * side * is_surface.astype(jnp.float32))

@@ -48,8 +48,8 @@ def test_bvh_traversal_matches_brute_force(rng):
     d = rng.normal(size=(3, n)).astype(np.float32)
     tm = np.zeros(n, dtype=np.float32)
 
-    hb = closest_hit(sb, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
-    hn = closest_hit(sn, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
+    hb, _ = closest_hit(sb, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
+    hn, _ = closest_hit(sn, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
 
     np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hn.hit))
     np.testing.assert_allclose(
@@ -94,6 +94,6 @@ def test_bvh_scene_with_lights_and_medium(rng):
     o = rng2.uniform(-12, 12, size=(3, n)).astype(np.float32)
     d = rng2.normal(size=(3, n)).astype(np.float32)
     tm = np.zeros(n, dtype=np.float32)
-    hit = closest_hit(sb, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
+    hit, _ = closest_hit(sb, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
     assert np.asarray(hit.hit).any()
     assert np.isfinite(np.asarray(hit.t)[np.asarray(hit.hit)]).all()

@@ -111,7 +111,7 @@ def test_triangle_barycentric_uv(rng):
     targets = targets / np.maximum(1.0, targets.sum(axis=1, keepdims=True))
     pts = (va[None] + targets[:, :1] * (vb - va)[None] + targets[:, 1:] * (vc - va)[None]).T
     d = (pts - o).astype(np.float32)
-    hit = closest_hit(scene, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
+    hit, _ = closest_hit(scene, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, KEY)
     hits = np.asarray(hit.hit)
     assert hits.sum() > 100  # nearly all aimed rays hit
     for i in np.nonzero(hits)[0][:20]:
@@ -144,7 +144,7 @@ def test_closest_hit_picks_nearest(rng):
     o = jnp.zeros((3, 4))
     d = jnp.broadcast_to(jnp.asarray([[0.0], [0.0], [1.0]]), (3, 4))
     tm = jnp.zeros(4)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
+    hit, _ = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
     np.testing.assert_allclose(np.asarray(hit.t), 4.0, rtol=1e-5)
     assert (np.asarray(hit.prim) == 0).all()
     # normal opposes the ray; front face
@@ -160,7 +160,7 @@ def test_sphere_uv_poles(rng):
     o = jnp.asarray([[3.0], [0.0], [0.0]])
     d = jnp.asarray([[-1.0], [0.0], [0.0]])
     tm = jnp.zeros(1)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
+    hit, _ = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
     u, v = oracle.sphere_uv(np.array([1.0, 0.0, 0.0]))
     np.testing.assert_allclose(np.asarray(hit.u)[0], u, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hit.v)[0], v, atol=1e-5)
@@ -201,7 +201,7 @@ def test_flip_face_toggles_front(rng):
     o = jnp.asarray([[0.0], [2.0], [0.0]])
     d = jnp.asarray([[0.0], [-1.0], [0.0]])
     tm = jnp.zeros(1)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
+    hit, _ = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
     assert np.asarray(hit.hit)[0]
     # without flip this would be a front hit; FlipFace toggles it
     assert not np.asarray(hit.front)[0]

@@ -20,16 +20,16 @@ def _hit_sphere(mat_builder, n=512, key=KEY):
     o = np.stack([3 * np.cos(ang), 3 * np.sin(ang), np.zeros(n)]).astype(np.float32)
     d = (-o).astype(np.float32)
     tm = np.full(n, 0.5, dtype=np.float32)
-    hit = closest_hit(scene, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, key)
-    return scene, hit, jnp.asarray(d), jnp.asarray(tm)
+    hit, shade = closest_hit(scene, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm), 1e-3, jnp.inf, key)
+    return scene, hit, shade, jnp.asarray(d), jnp.asarray(tm)
 
 
 def test_metal_reflects_with_fuzz_ball():
     fuzz = 0.3
-    scene, hit, d, tm = _hit_sphere(
+    scene, hit, shade, d, tm = _hit_sphere(
         lambda b: b.sphere((0, 0, 0), 1, b.metal((0.8, 0.6, 0.2), fuzz))
     )
-    sc = scatter(scene.materials, scene.textures, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
     assert np.asarray(sc.is_specular).all()
     assert np.asarray(sc.has_scatter).all()
     # metal zeroes the scattered time (material/mod.rs:92)
@@ -46,8 +46,8 @@ def test_metal_reflects_with_fuzz_ball():
 
 
 def test_dielectric_attenuation_and_branches():
-    scene, hit, d, tm = _hit_sphere(lambda b: b.sphere((0, 0, 0), 1, b.dielectric(1.5)))
-    sc = scatter(scene.materials, scene.textures, hit, d, tm, KEY, scene.stats.features)
+    scene, hit, shade, d, tm = _hit_sphere(lambda b: b.sphere((0, 0, 0), 1, b.dielectric(1.5)))
+    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
     np.testing.assert_allclose(np.asarray(sc.attenuation), 1.0)
     # head-on rays (cos=1): Schlick R0 = 0.04 -> mostly refract (straight through)
     dn = np.asarray(d) / np.linalg.norm(np.asarray(d), axis=0)
@@ -71,9 +71,9 @@ def test_dielectric_total_internal_reflection():
     o = jnp.asarray([[0.9], [0.0], [0.0]])
     d = jnp.asarray([[0.05], [1.0], [0.0]])
     tm = jnp.zeros(1)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
+    hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
     assert not np.asarray(hit.front)[0]  # exiting: back face
-    sc = scatter(scene.materials, scene.textures, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
     # sin(theta) * 1.5 > 1 here -> must reflect (stay inside)
     spec = np.asarray(sc.spec_dir)[:, 0]
     p = np.asarray(hit.p)[:, 0]
@@ -89,13 +89,13 @@ def test_diffuse_light_emits_front_only():
     o = jnp.asarray([[0.0, 0.0], [1.0, -1.0], [0.0, 0.0]])
     d = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]])
     tm = jnp.zeros(2)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
-    em = np.asarray(emitted(scene.materials, scene.textures, hit, scene.stats.features))
+    hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
+    em = np.asarray(emitted(scene.textures, shade, hit, scene.stats.features))
     # ray 0 from above: front -> emits; ray 1 from below: back -> black
     np.testing.assert_allclose(em[:, 0], 4.0)
     np.testing.assert_allclose(em[:, 1], 0.0)
     # no scatter from lights
-    sc = scatter(scene.materials, scene.textures, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
     assert not np.asarray(sc.has_scatter).any()
 
 
@@ -107,8 +107,8 @@ def test_flip_face_reverses_emission():
     o = jnp.asarray([[0.0, 0.0], [1.0, -1.0], [0.0, 0.0]])
     d = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]])
     tm = jnp.zeros(2)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
-    em = np.asarray(emitted(scene.materials, scene.textures, hit, scene.stats.features))
+    hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
+    em = np.asarray(emitted(scene.textures, shade, hit, scene.stats.features))
     # flipped: now emits only from below (the Cornell one-sided light trick)
     np.testing.assert_allclose(em[:, 0], 0.0)
     np.testing.assert_allclose(em[:, 1], 4.0)
@@ -133,10 +133,10 @@ def test_isotropic_scatters_uniformly():
     d = jnp.asarray(np.tile(np.array([[0.0], [0.0], [1.0]], dtype=np.float32), (1, 256)))
     tm = jnp.zeros(256)
     keys = jax.random.split(KEY, 2)
-    hit = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, keys[0])
+    hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, keys[0])
     assert np.asarray(hit.hit).mean() > 0.9  # dense medium: almost all scatter inside
     assert np.asarray(hit.front).all()  # mediums set front_face=true
-    sc = scatter(scene.materials, scene.textures, hit, d, tm, keys[1], scene.stats.features)
+    sc = scatter(scene.textures, shade, hit, d, tm, keys[1], scene.stats.features)
     assert np.asarray(sc.is_specular).all()
     v = np.asarray(sc.spec_dir)
     # uniform ball: mean ~ 0

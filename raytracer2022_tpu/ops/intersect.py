@@ -8,8 +8,8 @@ Replaces the reference's per-ray virtual ``Hittable::hit`` recursion
     fuses one VPU pass (the TPU-optimal strategy for small scenes);
   * ``candidate_t_rows`` — same formulas for per-ray *gathered* primitive
     rows (BVH leaf tests, light pdf queries);
-  * ``traverse_bvh`` — lockstep stackless skip-link walk over the flattened
-    BVH (see scene/bvh.py) inside one ``lax.while_loop``;
+  * ``traverse_clusters`` — two-level closest hit (dense cluster-AABB pass,
+    then front-to-back cluster visits per ray block) in one ``lax.while_loop``;
   * ``hit_details`` — full hit record reconstructed only for the winning
     primitive per ray.
 
@@ -447,11 +447,15 @@ def _medium_t(
 
 
 # --------------------------------------------------------------------------
-# BVH traversal (stackless skip links, lockstep wavefront)
+# cluster traversal (two-level: dense AABB pass + ordered cluster visits)
 # --------------------------------------------------------------------------
 
+# per-kind param-row count needed by the closest-hit t formulas (full rows —
+# e.g. triangle uvs — are only fetched in hit_details for the winner)
+NPARAM_T = {SPHERE: 4, MSPHERE: 9, RECT: 6, TRIANGLE: 9, RING: 4}
 
-def traverse_bvh(
+
+def traverse_clusters(
     scene: SceneData,
     tree_idx: int,
     o,
@@ -459,27 +463,34 @@ def traverse_bvh(
     tm,
     t_min,
     t_max,
-    block: int = 128,
+    block: int = 64,
 ):
-    """Packet closest hit over the BVH subset -> (t_best f32[N], best i32[N]).
+    """Closest hit over one cluster tree -> (t_best f32[N], best i32[N]).
 
-    TPU-native *packet* traversal: rays are grouped into blocks of ``block``
-    lanes that share ONE node pointer, walking the preorder skip-link array
-    (scene/bvh.py) in lockstep inside a single ``lax.while_loop``.  A block
-    descends when ANY of its rays hits the node AABB.  This replaces the
-    per-ray pointer walk (whose per-ray node gathers are pathologically slow
-    on TPU) with: a tiny B-sized gather of node data per step, a dense
-    (B, block) slab test on the VPU, and dense leaf primitive tests — no
-    per-lane gathers anywhere.  Camera rays are block-coherent by
-    construction (pixel-major order), which is what makes packets prune.
+    TPU-native two-level traversal (replaces the reference's recursive BVH
+    descent, bvh/mod.rs:86-101):
 
-    The AABB slab test follows aabb.rs:15-32; per-ray ``t_best`` bounds the
-    test like the t_max threading of bvh/mod.rs:86-101.
+      1. ONE dense slab pass tests every ray against all C cluster AABBs
+         (fused VPU elementwise + reduction);
+      2. rays are grouped into blocks of ``block`` lanes; each block visits
+         clusters in front-to-back order of the block-min entry distance,
+         stopping as soon as the next cluster starts beyond every lane's
+         current closest hit.  Each visit is one one-hot MXU fetch of the
+         cluster's packed prim columns plus a dense (M, block) single-kind
+         primitive test — no per-lane gathers anywhere.
+
+    Worst case (every block visits every cluster) equals the dense
+    brute-force scan; coherent blocks exit after a handful of visits.  The
+    earlier lockstep *packet* walk of a deep skip-link BVH shared one node
+    pointer per block and degenerated to ~1000 sequential 8-prim steps on
+    incoherent bounce rays; front-to-back cluster visits bound the step
+    count by C and do M prims of dense work per step.
     """
-    bvh = scene.bvhs[tree_idx]
-    tree_kind = scene.stats.trees[tree_idx][0]
-    n_nodes = bvh.skip.shape[0]
+    ct = scene.clusters[tree_idx]
+    kind, n_clusters, m, npar, has_xf = scene.stats.trees[tree_idx]
     n = o.shape[1]
+
+    from .tables import onehot_dot
 
     # pad rays to a block multiple with rays that hit nothing
     n_pad = (-n) % block
@@ -500,83 +511,79 @@ def traverse_bvh(
     else:
         t_cap = jnp.concatenate([t_max, jnp.zeros(n_pad)]).reshape(nb, block)
 
+    # --- phase 1: block-min entry distance per cluster (slab, aabb.rs:15-32)
+    # component form so XLA fuses the (C, nb, block) grid into the reduction
+    def axis_minmax(a):
+        t0 = (ct.bmin[a][:, None, None] - ob[a][None]) * inv_d[a][None]
+        t1 = (ct.bmax[a][:, None, None] - ob[a][None]) * inv_d[a][None]
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    n0, f0 = axis_minmax(0)
+    n1, f1 = axis_minmax(1)
+    n2, f2 = axis_minmax(2)
+    near = jnp.maximum(jnp.maximum(jnp.maximum(n0, n1), n2), t_min)
+    far_ = jnp.minimum(jnp.minimum(jnp.minimum(f0, f1), f2), t_cap[None])
+    entry = jnp.where(far_ >= near, near, INF)  # (C, nb, block)
+    e_blk = jnp.min(entry, axis=2).T  # (nb, C)
+
+    # front-to-back visit order per block + sorted entry values
+    order = jnp.argsort(e_blk, axis=1).astype(jnp.int32)  # (nb, C)
+    es = jnp.take_along_axis(e_blk, order, axis=1)  # (nb, C)
+    es = jnp.concatenate([es, jnp.full((nb, 1), INF)], axis=1)  # sentinel
+
     t_best0 = jnp.full((nb, block), INF)
-    leaf_size = scene.stats.bvh_leaf_size
-    # pack row layout (scene/builder.py finalize): meta then per-slot rows
-    slot_stride = 17 + (13 if scene.any_xform else 0)
-    node_iota = jnp.arange(n_nodes, dtype=jnp.int32)[:, None]  # (Nn, 1)
+    best0 = jnp.zeros((nb, block), dtype=jnp.int32)
+    done0 = ~jnp.isfinite(es[:, 0])  # blocks whose rays miss every cluster
 
     def cond(state):
-        node, _, _ = state
-        return jnp.any(node < n_nodes)
+        _, done, _, _ = state
+        return jnp.any(~done)
 
     def body(state):
-        node, t_best, best = state  # node: [nb]
-        blk_live = node < n_nodes
-        nd = jnp.minimum(node, n_nodes - 1)
+        i, done, t_best, best = state
+        c = jax.lax.dynamic_slice_in_dim(order, i, 1, axis=1)[:, 0]  # [nb]
 
-        # ONE one-hot MXU dot fetches every per-node row for all blocks —
-        # per-node gathers here were the dominant cost of mesh scenes
-        oh = (nd[None, :] == node_iota).astype(jnp.float32)  # (Nn, nb)
-        fetch = jax.lax.dot(
-            bvh.pack, oh, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (R, nb)
+        # one one-hot MXU dot fetches the visited cluster's packed columns
+        oh = (c[None, :] == jnp.arange(n_clusters, dtype=jnp.int32)[:, None]).astype(
+            jnp.bfloat16
+        )  # (C, nb)
+        fetch = onehot_dot(ct.pack, oh, passes=3)  # (R, nb)
 
-        bmin = fetch[0:3][:, :, None]  # (3, nb, 1)
-        bmax = fetch[3:6][:, :, None]
-        skip_f = fetch[6]  # [nb] f32 (exact small ints)
-        leaf_cnt = fetch[7]  # [nb] f32
+        start = fetch[0]  # [nb] window start prim id (exact)
+        count = fetch[1]
+        p = fetch[2 : 2 + npar * m].reshape(npar, m, nb)[:, :, :, None]
+        oo, dd = ob[:, None], db[:, None]  # (3, 1, nb, block)
+        if has_xf:
+            base = 2 + npar * m
+            rot = fetch[base : base + 9 * m].reshape(3, 3, m, nb)[:, :, :, :, None]
+            trans = fetch[base + 9 * m : base + 12 * m].reshape(3, m, nb)[:, :, :, None]
+            inv_s = fetch[base + 12 * m : base + 13 * m][:, :, None]  # (m, nb, 1)
+            oo, dd = _xform_rays(rot, trans, inv_s, oo, dd)
 
-        t0 = (bmin - ob) * inv_d
-        t1 = (bmax - ob) * inv_d
-        near = jnp.where(inv_d < 0.0, t1, t0)
-        far_ = jnp.where(inv_d < 0.0, t0, t1)
         cur_max = jnp.minimum(t_best, t_cap)
-        tmin_r = jnp.maximum(jnp.maximum(jnp.maximum(near[0], near[1]), near[2]), t_min)
-        tmax_r = jnp.minimum(jnp.minimum(jnp.minimum(far_[0], far_[1]), far_[2]), cur_max)
-        hit_box = tmax_r > tmin_r  # (nb, block)
-        any_hit = jnp.any(hit_box, axis=1) & blk_live  # [nb]
-
-        is_leaf = (leaf_cnt > 0.0) & any_hit
-
-        for j in range(leaf_size):
-            base = 8 + j * slot_stride
-            valid = is_leaf & (j < leaf_cnt)  # [nb]
-            # one prim per block, broadcast across lanes: dense, no gathers
-            p = fetch[base : base + 16][:, :, None]  # (16, nb, 1)
-            pid = fetch[base + 16].astype(jnp.int32)  # [nb]
-            oo, dd = ob, db
-            if scene.any_xform:
-                xf = fetch[base + 17 : base + 17 + 13]
-                oo, dd = _xform_rays(
-                    xf[0:9].reshape(3, 3, nb, 1),
-                    xf[9:12][:, :, None],
-                    xf[12][:, None],
-                    ob,
-                    db,
-                )
-            # homogeneous tree: one static formula, no masked switch
-            t_j = _t_for_kind(tree_kind, p, oo, dd, tmb, t_min, cur_max)
-            t_j = jnp.broadcast_to(t_j, (nb, block))
-            upd = valid[:, None] & (t_j < t_best)
-            t_best = jnp.where(upd, t_j, t_best)
-            best = jnp.where(upd, pid[:, None], best)
-
-        descend = any_hit & (leaf_cnt == 0.0)
-        node = jnp.where(
-            blk_live,
-            jnp.where(descend, nd + 1, skip_f.astype(jnp.int32)),
-            node,
+        # homogeneous tree: one static formula, no masked switch
+        t_j = _t_for_kind(kind, p, oo, dd, tmb[None], t_min, cur_max[None])
+        t_j = jnp.broadcast_to(t_j, (m, nb, block))
+        tw = jnp.min(t_j, axis=0)  # (nb, block)
+        am = jnp.argmin(t_j, axis=0).astype(jnp.int32)
+        # slot j holds prim start + min(j, count-1) (padding = last prim)
+        bw = start.astype(jnp.int32)[:, None] + jnp.minimum(
+            am, count.astype(jnp.int32)[:, None] - 1
         )
-        return node, t_best, best
+        upd = ~done[:, None] & (tw < t_best)
+        t_best = jnp.where(upd, tw, t_best)
+        best = jnp.where(upd, bw, best)
 
-    node0 = jnp.zeros((nb,), dtype=jnp.int32)
-    best0 = jnp.zeros((nb, block), dtype=jnp.int32)
-    _, t_best, best = jax.lax.while_loop(cond, body, (node0, t_best0, best0))
-    t_best = t_best.reshape(-1)[:n]
-    best = best.reshape(-1)[:n]
-    return t_best, best
+        # stop when the next cluster starts beyond every lane's closest hit
+        e_next = jax.lax.dynamic_slice_in_dim(es, i + 1, 1, axis=1)[:, 0]
+        blk_cap = jnp.max(jnp.minimum(t_best, t_cap), axis=1)
+        done = done | (e_next >= blk_cap)
+        return i + 1, done, t_best, best
+
+    _, _, t_best, best = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), done0, t_best0, best0)
+    )
+    return t_best.reshape(-1)[:n], best.reshape(-1)[:n]
 
 
 # --------------------------------------------------------------------------
@@ -826,8 +833,8 @@ def closest_hit(
     t_best = jnp.full((n,), INF)
     best = jnp.zeros((n,), dtype=jnp.int32)
     brute_lo = scene.stats.n_in_bvh
-    for i in range(len(scene.bvhs)):
-        t_i, b_i = traverse_bvh(scene, i, o, d, tm, t_min, t_max)
+    for i in range(len(scene.clusters)):
+        t_i, b_i = traverse_clusters(scene, i, o, d, tm, t_min, t_max)
         take = t_i < t_best
         t_best = jnp.where(take, t_i, t_best)
         best = jnp.where(take, b_i, best)
@@ -838,7 +845,7 @@ def closest_hit(
     # prims run as a lax.scan over fixed chunks so the transient stays
     # bounded regardless of XLA fusion decisions
     ranges = [r for r in scene.stats.kind_ranges if r[2] > brute_lo]
-    if not ranges and not scene.bvhs and scene.n_prims > 0:
+    if not ranges and not scene.clusters and scene.n_prims > 0:
         ranges = [(-1, 0, scene.n_prims)]  # legacy: full masked switch
     # bound the dense (N, chunk) transient: ~128M f32 elements regardless of
     # wavefront size, so multi-million-ray launches don't OOM on a 530-prim

@@ -47,34 +47,45 @@ class Scatter:
     attenuation: jnp.ndarray  # f32[3, N]
 
 
-def emitted(
+def texture_value(
     tt: TextureTable,
     shade: Shade,
     hit: Hit,
     features: frozenset,
 ) -> jnp.ndarray:
+    """The winning primitive's texture value (3, N) — computed ONCE per
+    bounce and shared by :func:`emitted` and :func:`scatter` (the reference
+    evaluates it once per material method too, but each evaluation here is a
+    full perlin/atlas pass over the wavefront, so sharing it halves the
+    shading cost of textured scenes)."""
+    return eval_texture_shade(tt, shade, hit.u, hit.v, hit.p, hit.tex_uv, features)
+
+
+def emitted(
+    shade: Shade,
+    hit: Hit,
+    tex_val: jnp.ndarray,
+) -> jnp.ndarray:
     """DiffuseLight::emitted — texture value only on front faces
     (material/mod.rs:174-180); all other kinds emit black."""
     is_light = shade.mat_kind == DIFFUSE_LIGHT
-    value = eval_texture_shade(tt, shade, hit.u, hit.v, hit.p, hit.tex_uv, features)
-    return jnp.where((is_light & hit.front & hit.hit)[None], value, 0.0)
+    return jnp.where((is_light & hit.front & hit.hit)[None], tex_val, 0.0)
 
 
 def scatter(
-    tt: TextureTable,
     shade: Shade,
     hit: Hit,
+    tex_val: jnp.ndarray,  # f32[3, N] pre-evaluated texture value (albedo)
     d_in: jnp.ndarray,  # f32[3, N] incoming ray direction
     tm: jnp.ndarray,  # f32[N] incoming ray time
     key,
-    features: frozenset,
 ) -> Scatter:
     """One masked pass implementing all five scatter functions."""
     kind = shade.mat_kind
     param = shade.mat_param
     n = hit.normal
 
-    albedo = eval_texture_shade(tt, shade, hit.u, hit.v, hit.p, hit.tex_uv, features)
+    albedo = tex_val
 
     k_fuzz, k_diel, k_iso = jax.random.split(key, 3)
     shape = tm.shape

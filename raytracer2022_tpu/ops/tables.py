@@ -8,6 +8,14 @@ primitive rows — a one-hot contraction on the MXU is orders of magnitude
 faster: build ``onehot[K, N] = (idx == arange(K))`` and matmul
 ``table[C, K] @ onehot -> [C, N]``.
 
+Precision: the MXU multiplies in bf16.  A full-f32 matmul
+(``Precision.HIGHEST``) costs 6 bf16 passes; for a ONE-HOT contraction the
+result is just a copy of one table column, so a hi/mid/lo bf16 split of the
+table reconstructs the exact f32 value in 3 passes (each split term is
+picked exactly: the one-hot operand is 0/1, exactly representable in bf16,
+and products accumulate in f32).  Three bf16 mantissas cover 24 bits —
+f32-exact for the reconstruction — at half the MXU cost of HIGHEST.
+
 ``take_cols`` picks one-hot vs. real gather from static shapes.  Gradients
 flow through the table operand in both paths (the one-hot VJP is itself an
 MXU matmul, i.e. a fast scatter-add).
@@ -18,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-# onehot budget: K*N f32 elements (256 MB); beyond this fall back to gather
+# onehot budget: K*N elements; beyond this fall back to gather
 _BUDGET_ELEMS = 64 << 20
 _MAX_K = 2048
 
@@ -27,13 +35,36 @@ def _use_onehot(k: int, n: int) -> bool:
     return k <= _MAX_K and k * n <= _BUDGET_ELEMS
 
 
-def onehot_matmul(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def onehot(idx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """bf16 one-hot matrix ``[K, N]`` of per-ray indices (0/1 exact)."""
+    return (idx[None, :] == jnp.arange(k, dtype=idx.dtype)[:, None]).astype(
+        jnp.bfloat16
+    )
+
+
+def onehot_dot(table_f32: jnp.ndarray, oh: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
+    """``table[C, K] @ oh[K, N]`` -> f32[C, N] via hi/mid/lo bf16 passes.
+
+    ``passes`` trades exactness for speed: 1 pass keeps 8 mantissa bits
+    (exact for small ints / flags), 2 keeps ~16, 3 reconstructs f32 exactly
+    for a one-hot right-hand side.
+    """
+    x = table_f32
+    out = None
+    for _ in range(passes):
+        part = x.astype(jnp.bfloat16)
+        term = lax.dot(part, oh, preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+        x = x - part.astype(jnp.float32)
+    return out
+
+
+def onehot_matmul(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
     """``table[..., K]`` at ``idx[N]`` -> ``[..., N]`` via one-hot dot."""
     k = table.shape[-1]
-    oh = (idx[None, :] == jnp.arange(k, dtype=idx.dtype)[:, None]).astype(jnp.float32)
+    oh = onehot(idx, k)
     flat = table.reshape(-1, k).astype(jnp.float32)
-    out = lax.dot(flat, oh, precision=lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
+    out = onehot_dot(flat, oh, passes=passes)
     return out.reshape(*table.shape[:-1], idx.shape[0])
 
 
@@ -46,15 +77,17 @@ def _restore_dtype(out: jnp.ndarray, dtype) -> jnp.ndarray:
     return out.astype(dtype)
 
 
-def take_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def take_cols(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
     """``table[..., K]`` gathered at per-ray ``idx[N]`` -> ``[..., N]``."""
     k = table.shape[-1]
     if not _use_onehot(k, idx.shape[-1]):
         return jnp.take(table, idx, axis=-1)
-    return _restore_dtype(onehot_matmul(table, idx), table.dtype)
+    if jnp.issubdtype(table.dtype, jnp.integer) or table.dtype == jnp.bool_:
+        passes = min(passes, 2)  # ids/flags: 16 bits of mantissa suffice
+    return _restore_dtype(onehot_matmul(table, idx, passes=passes), table.dtype)
 
 
-def take_cols_multi(tables, idx: jnp.ndarray):
+def take_cols_multi(tables, idx: jnp.ndarray, passes: int = 3):
     """Gather several ``[..., K]`` tables at the same ``idx`` in ONE dot.
 
     All tables must share K (their last axis).  Returns outputs in input
@@ -73,9 +106,7 @@ def take_cols_multi(tables, idx: jnp.ndarray):
         rows.append(flat)
         sizes.append(flat.shape[0])
     stacked = jnp.concatenate(rows, axis=0)  # (C_total, K)
-    oh = (idx[None, :] == jnp.arange(k, dtype=idx.dtype)[:, None]).astype(jnp.float32)
-    out = lax.dot(stacked, oh, precision=lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)  # (C_total, N)
+    out = onehot_dot(stacked, onehot(idx, k), passes=passes)  # (C_total, N)
     outs = []
     off = 0
     for t, c in zip(tables, sizes):

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..ops.intersect import closest_hit
 from ..ops.lights import lights_pdf, sample_lights
-from ..ops.materials import emitted, scatter, scattering_pdf_lambertian
+from ..ops.materials import emitted, scatter, scattering_pdf_lambertian, texture_value
 from ..ops.sampling import cos_pdf_value, cosine_about_normal
 from ..ops.vecmath import dot, scale, to_unit, vec3
 from ..scene.types import ISOTROPIC, LAMBERTIAN, SceneData
@@ -101,8 +101,9 @@ def _eval_vertex(
     k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
 
     hit, shade = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
-    em = emitted(scene.textures, shade, hit, features)
-    sc = scatter(scene.textures, shade, hit, d, tm, k_scatter, features)
+    tex_val = texture_value(scene.textures, shade, hit, features)
+    em = emitted(shade, hit, tex_val)
+    sc = scatter(shade, hit, tex_val, d, tm, k_scatter)
 
     # --- diffuse branch: 50/50 mixture of light-sample and cosine
     # (main.rs:263-266, pdf.rs:95-104)

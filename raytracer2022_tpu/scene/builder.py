@@ -46,7 +46,7 @@ from ..scene.types import (
     TEX_OBJUV,
     TEX_SOLID,
     TRIANGLE,
-    BvhArrays,
+    ClusterTree,
     MaterialTable,
     SceneData,
     SceneStats,
@@ -406,7 +406,14 @@ class SceneBuilder:
         return wc.min(axis=0), wc.max(axis=0)
 
     # ------------------------------------------------------------- finalize
-    def finalize(self, bvh_threshold: int = 4096, leaf_size: int = 8) -> SceneData:
+    def finalize(self, bvh_threshold: int = 512, cluster_size: int = 128) -> SceneData:
+        """Compile to flat device arrays.
+
+        Kinds with more than ``bvh_threshold`` active prims get a
+        :class:`ClusterTree` (host BVH cut into treelets of <=
+        ``cluster_size`` prims); everything else lands in dense kind
+        windows.
+        """
         import jax.numpy as jnp
 
         from .bvh import build_bvh
@@ -427,33 +434,40 @@ class SceneBuilder:
         lights = np.array(self.lights, dtype=np.int32)
 
         # --- primitive ordering ---
-        # Per-kind BVH *forest*: every active kind with more than
-        # ``bvh_threshold`` prims gets its own homogeneous tree (so device
-        # leaf tests run ONE static formula); everything else lands in the
-        # dense tail, grouped by kind so candidate_t runs one formula per
-        # window.  Stable sorts keep each medium's boundary rows contiguous
-        # (they share a kind and were added contiguously).
-        bvhs = []
-        trees = []
+        # Per-kind cluster *forest*: every active kind with more than
+        # ``bvh_threshold`` prims gets its own homogeneous cluster tree (so
+        # device leaf tests run ONE static formula); everything else lands
+        # in the dense tail, grouped by kind so candidate_t runs one formula
+        # per window.  Stable sorts keep each medium's boundary rows
+        # contiguous (they share a kind and were added contiguously).
+        cluster_meta = []  # (kind, windows: (C,2) start/count LOCAL, cbmin, cbmax)
         tree_perm_parts = []
-        tree_kinds = set()
         for k in sorted(set(int(x) for x in kind)):
             if k == MEDIUM:
                 continue
             ids = np.nonzero(active & (kind == k))[0]
             if len(ids) <= bvh_threshold:
                 continue
-            tree_kinds.add(k)
             bboxes = [self.prim_bbox(int(i)) for i in ids]
             nodes, order = build_bvh(
                 np.stack([b[0] for b in bboxes]),
                 np.stack([b[1] for b in bboxes]),
-                leaf_size=leaf_size,
+                leaf_size=cluster_size,
             )
             lo = sum(len(p) for p in tree_perm_parts)
+            leaf = nodes["leaf_count"] > 0
+            cluster_meta.append(
+                (
+                    k,
+                    np.stack(
+                        [nodes["leaf_start"][leaf] + lo, nodes["leaf_count"][leaf]],
+                        axis=1,
+                    ),
+                    nodes["bmin"][:, leaf],
+                    nodes["bmax"][:, leaf],
+                )
+            )
             tree_perm_parts.append(ids[order])
-            trees.append((k, lo, lo + len(ids)))
-            bvhs.append({**nodes, "leaf_start": nodes["leaf_start"] + lo})
         n_in_bvh = sum(len(p) for p in tree_perm_parts)
         in_tree = np.zeros(n, dtype=bool)
         for p in tree_perm_parts:
@@ -478,39 +492,42 @@ class SceneBuilder:
             (int(inv[pid]), int(inv[b0]), cnt) for pid, b0, cnt in self.mediums
         )
 
-        # --- pack per-node traversal data (types.BvhArrays.pack) ---
-        # Rows: node meta [bmin(3), bmax(3), skip, leaf_count] then per leaf
-        # slot j: the prim's params(16) + prim_id (+ xf rows when needed).
-        # Fetched per traversal step by ONE one-hot MXU dot instead of many
-        # tiny per-node gathers (the former hot spot of mesh scenes).
-        bvh_arrays = []
-        for nd in bvhs:
-            nn = len(nd["skip"])
+        # --- pack per-cluster traversal data (types.ClusterTree.pack) ---
+        # Columns are clusters; rows: [start, count, params param-major
+        # (nparam x M), (+ rot 9M, trans 3M, inv_scale M when the tree's
+        # prims carry transforms)].  The traversal fetches one cluster per
+        # ray block per step with a single one-hot MXU dot.
+        from ..ops.intersect import NPARAM_T
+
+        identity_xf = np.array([xf.is_identity() for xf in self.xform_of])[perm]
+        cluster_trees = []
+        trees = []
+        for k, windows, cbmin, cbmax in cluster_meta:
+            starts = windows[:, 0]
+            counts = windows[:, 1]
+            m = cluster_size
+            npar = NPARAM_T[k]
+            has_xf = bool(not identity_xf[starts[0] : starts[-1] + counts[-1]].all())
+            # slot j of cluster c = prim start_c + min(j, count_c - 1)
+            # (padding re-tests the last prim: harmless duplicate)
+            pid = starts[:, None] + np.minimum(np.arange(m)[None, :], counts[:, None] - 1)
             rows = [
-                nd["bmin"].astype(np.float32),
-                nd["bmax"].astype(np.float32),
-                nd["skip"][None].astype(np.float32),
-                nd["leaf_count"][None].astype(np.float32),
+                starts[None].astype(np.float32),
+                counts[None].astype(np.float32),
+                params[:npar, pid].transpose(0, 2, 1).reshape(npar * m, -1),
             ]
-            for j in range(leaf_size):
-                pid = np.minimum(nd["leaf_start"] + j, n - 1)  # clamped slot
-                rows.append(params[:, pid])
-                rows.append(pid[None].astype(np.float32))
-                if any_xform:
-                    rows.append(xf_rot[:, :, pid].reshape(9, nn))
-                    rows.append(xf_trans[:, pid])
-                    rows.append(xf_inv_scale[None, pid])
-            bvh_arrays.append(
-                BvhArrays(
-                    bmin=jnp.asarray(nd["bmin"]),
-                    bmax=jnp.asarray(nd["bmax"]),
-                    leaf_start=jnp.asarray(nd["leaf_start"]),
-                    leaf_count=jnp.asarray(nd["leaf_count"]),
-                    skip=jnp.asarray(nd["skip"]),
+            if has_xf:
+                rows.append(xf_rot.reshape(9, n)[:, pid].transpose(0, 2, 1).reshape(9 * m, -1))
+                rows.append(xf_trans[:, pid].transpose(0, 2, 1).reshape(3 * m, -1))
+                rows.append(xf_inv_scale[pid].T)
+            cluster_trees.append(
+                ClusterTree(
+                    bmin=jnp.asarray(cbmin.astype(np.float32)),
+                    bmax=jnp.asarray(cbmax.astype(np.float32)),
                     pack=jnp.asarray(np.concatenate(rows, axis=0)),
                 )
             )
-        bvhs = bvh_arrays
+            trees.append((k, len(starts), m, npar, has_xf))
 
         # homogeneous kind windows over the brute-forced region
         kind_ranges = []
@@ -573,7 +590,6 @@ class SceneBuilder:
             light_kinds=tuple(int(kind[i]) for i in lights),
             light_axes=tuple(int(params[5, i]) for i in lights),
             n_in_bvh=n_in_bvh,
-            bvh_leaf_size=leaf_size,
             trees=tuple(trees),
             time0=self.time0,
             time1=self.time1,
@@ -594,7 +610,7 @@ class SceneBuilder:
             materials=materials,
             textures=textures,
             lights=jnp.asarray(lights),
-            bvhs=tuple(bvhs),
+            clusters=tuple(cluster_trees),
             any_xform=any_xform,
             any_medium=bool(mediums),
             stats=stats,

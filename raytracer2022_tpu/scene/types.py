@@ -103,28 +103,28 @@ class MaterialTable:
 
 
 @flax.struct.dataclass
-class BvhArrays:
-    """Flattened BVH in preorder with skip links (stackless traversal).
+class ClusterTree:
+    """Two-level acceleration structure: fixed-size primitive clusters.
 
-    Replaces the reference's ``Arc<dyn Hittable>`` node tree
-    (bvh/mod.rs:12-15).  Node ``i``: on AABB hit continue to ``i+1`` (its
-    first child / its own leaf prims), on miss jump to ``skip[i]``.  Leaves
-    own the contiguous prim range ``[leaf_start, leaf_start + leaf_count)``
-    in the (builder-reordered) primitive arrays.
+    Replaces the reference's deep ``Arc<dyn Hittable>`` BVH
+    (bvh/mod.rs:12-15) with the TPU-native shape: the host BVH build is cut
+    into treelets of <= M primitives ("clusters", contiguous windows of the
+    reordered primitive array).  Traversal tests every ray against all C
+    cluster AABBs densely (one fused VPU pass), then visits clusters
+    front-to-back per ray *block* with early exit — every step is a dense
+    (M, block) primitive test plus one one-hot MXU fetch of the cluster's
+    packed columns.  Worst case equals brute force; typical blocks touch a
+    small fraction of clusters.
+
+    ``pack`` columns (cluster-major): row 0 = window start prim id, row 1 =
+    window count, rows 2.. = params param-major ([q * M + j] for param q of
+    slot j; padding slots replicate the cluster's first prim), then — when
+    the tree's prims carry transforms — rot(9M), trans(3M), inv_scale(M).
     """
 
-    bmin: jnp.ndarray  # f32[3, Nn]
-    bmax: jnp.ndarray  # f32[3, Nn]
-    leaf_start: jnp.ndarray  # i32[Nn]
-    leaf_count: jnp.ndarray  # i32[Nn] (0 for internal nodes)
-    skip: jnp.ndarray  # i32[Nn]
-    # packed per-node data for the traversal's one-dot fetch: rows =
-    # [bmin(3), bmax(3), skip(1), leaf_count(1)] then per leaf slot j:
-    # [params(16), prim_id(1)] (+ [rot(9), trans(3), inv_scale(1)] per slot
-    # when the scene has transforms).  All f32 (ids/links exact < 2^24).
-    # Per-step gathers from this by node id were the traversal bottleneck;
-    # a one-hot MXU contraction over the (few) ray blocks replaces them.
-    pack: jnp.ndarray  # f32[R, Nn]
+    bmin: jnp.ndarray  # f32[3, C]
+    bmax: jnp.ndarray  # f32[3, C]
+    pack: jnp.ndarray  # f32[R, C]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,11 +143,10 @@ class SceneStats:
     light_kinds: Tuple[int, ...] = ()
     light_axes: Tuple[int, ...] = ()  # rect constant axis per light (0 otherwise)
     n_in_bvh: int = 0
-    bvh_leaf_size: int = 8
-    # One tree per large homogeneous kind: (kind, prim_lo, prim_hi) aligned
-    # with SceneData.bvhs.  Homogeneous trees keep the leaf test a single
-    # static formula (small compile, no masked switch).
-    trees: Tuple[Tuple[int, int, int], ...] = ()
+    # One cluster tree per large homogeneous kind, aligned with
+    # SceneData.clusters: (kind, n_clusters, cluster_size, nparam, has_xf).
+    # Homogeneous trees keep the leaf test a single static formula.
+    trees: Tuple[Tuple[int, int, int, int, bool], ...] = ()
     time0: float = 0.0
     time1: float = 1.0
     # Homogeneous (kind, start, stop) windows covering the brute-forced
@@ -181,8 +180,8 @@ class SceneData:
 
     lights: jnp.ndarray  # i32[L] prim ids used for light sampling (may be empty)
 
-    # Per-kind BVH forest (see SceneStats.trees); empty tuple = all-dense
-    bvhs: Tuple[BvhArrays, ...] = ()
+    # Per-kind cluster forest (see SceneStats.trees); empty tuple = all-dense
+    clusters: Tuple[ClusterTree, ...] = ()
 
     # Static (non-traced) metadata
     any_xform: bool = flax.struct.field(pytree_node=False, default=False)
@@ -199,4 +198,4 @@ class SceneData:
 
     @property
     def use_bvh(self) -> bool:
-        return len(self.bvhs) > 0
+        return len(self.clusters) > 0

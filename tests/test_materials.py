@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracer2022_tpu.ops.intersect import closest_hit
-from raytracer2022_tpu.ops.materials import emitted, scatter, scattering_pdf_lambertian
+from raytracer2022_tpu.ops.materials import emitted, scatter, scattering_pdf_lambertian, texture_value
 from raytracer2022_tpu.scene.builder import SceneBuilder
 
 KEY = jax.random.PRNGKey(7)
@@ -29,7 +29,7 @@ def test_metal_reflects_with_fuzz_ball():
     scene, hit, shade, d, tm = _hit_sphere(
         lambda b: b.sphere((0, 0, 0), 1, b.metal((0.8, 0.6, 0.2), fuzz))
     )
-    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features), d, tm, KEY)
     assert np.asarray(sc.is_specular).all()
     assert np.asarray(sc.has_scatter).all()
     # metal zeroes the scattered time (material/mod.rs:92)
@@ -47,7 +47,7 @@ def test_metal_reflects_with_fuzz_ball():
 
 def test_dielectric_attenuation_and_branches():
     scene, hit, shade, d, tm = _hit_sphere(lambda b: b.sphere((0, 0, 0), 1, b.dielectric(1.5)))
-    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features), d, tm, KEY)
     np.testing.assert_allclose(np.asarray(sc.attenuation), 1.0)
     # head-on rays (cos=1): Schlick R0 = 0.04 -> mostly refract (straight through)
     dn = np.asarray(d) / np.linalg.norm(np.asarray(d), axis=0)
@@ -73,7 +73,7 @@ def test_dielectric_total_internal_reflection():
     tm = jnp.zeros(1)
     hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
     assert not np.asarray(hit.front)[0]  # exiting: back face
-    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features), d, tm, KEY)
     # sin(theta) * 1.5 > 1 here -> must reflect (stay inside)
     spec = np.asarray(sc.spec_dir)[:, 0]
     p = np.asarray(hit.p)[:, 0]
@@ -90,12 +90,12 @@ def test_diffuse_light_emits_front_only():
     d = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]])
     tm = jnp.zeros(2)
     hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
-    em = np.asarray(emitted(scene.textures, shade, hit, scene.stats.features))
+    em = np.asarray(emitted(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features)))
     # ray 0 from above: front -> emits; ray 1 from below: back -> black
     np.testing.assert_allclose(em[:, 0], 4.0)
     np.testing.assert_allclose(em[:, 1], 0.0)
     # no scatter from lights
-    sc = scatter(scene.textures, shade, hit, d, tm, KEY, scene.stats.features)
+    sc = scatter(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features), d, tm, KEY)
     assert not np.asarray(sc.has_scatter).any()
 
 
@@ -108,7 +108,7 @@ def test_flip_face_reverses_emission():
     d = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]])
     tm = jnp.zeros(2)
     hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, KEY)
-    em = np.asarray(emitted(scene.textures, shade, hit, scene.stats.features))
+    em = np.asarray(emitted(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features)))
     # flipped: now emits only from below (the Cornell one-sided light trick)
     np.testing.assert_allclose(em[:, 0], 0.0)
     np.testing.assert_allclose(em[:, 1], 4.0)
@@ -136,7 +136,7 @@ def test_isotropic_scatters_uniformly():
     hit, shade = closest_hit(scene, o, d, tm, 1e-3, jnp.inf, keys[0])
     assert np.asarray(hit.hit).mean() > 0.9  # dense medium: almost all scatter inside
     assert np.asarray(hit.front).all()  # mediums set front_face=true
-    sc = scatter(scene.textures, shade, hit, d, tm, keys[1], scene.stats.features)
+    sc = scatter(shade, hit, texture_value(scene.textures, shade, hit, scene.stats.features), d, tm, keys[1])
     assert np.asarray(sc.is_specular).all()
     v = np.asarray(sc.spec_dir)
     # uniform ball: mean ~ 0

@@ -32,7 +32,7 @@ def main():
 
     from raytracer2022_tpu.ops.intersect import closest_hit, hit_details
     from raytracer2022_tpu.ops.lights import lights_pdf, sample_lights
-    from raytracer2022_tpu.ops.materials import emitted, scatter
+    from raytracer2022_tpu.ops.materials import emitted, scatter, texture_value
     from raytracer2022_tpu.render.integrator import TraceConfig, _eval_vertex
     from raytracer2022_tpu.scene.library import SCENES
 
@@ -69,13 +69,11 @@ def main():
         o, d, tm, key
     )
     bench(
-        loop(lambda o, d, tm, k: scatter(scene.textures, _shade, hit, d, tm, k,
-                                         scene.stats.features).attenuation),
+        loop(lambda o, d, tm, k: scatter(_shade, hit, texture_value(scene.textures, _shade, hit, scene.stats.features), d, tm, k).attenuation),
         o, d, tm, key, reps=reps, label="scatter(+textures)",
     )
     bench(
-        loop(lambda o, d, tm, k: emitted(scene.textures, _shade, hit,
-                                         scene.stats.features)),
+        loop(lambda o, d, tm, k: emitted(_shade, hit, texture_value(scene.textures, _shade, hit, scene.stats.features))),
         o, d, tm, key, reps=reps, label="emitted",
     )
     if scene.n_lights:

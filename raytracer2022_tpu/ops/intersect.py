@@ -6,8 +6,6 @@ Replaces the reference's per-ray virtual ``Hittable::hit`` recursion
   * ``candidate_t`` — for N rays x P primitives compute candidate hit
     distances entirely elementwise on the broadcasted ``(N, P)`` grid so XLA
     fuses one VPU pass (the TPU-optimal strategy for small scenes);
-  * ``candidate_t_rows`` — same formulas for per-ray *gathered* primitive
-    rows (BVH leaf tests, light pdf queries);
   * ``traverse_clusters`` — two-level closest hit (dense cluster-AABB pass,
     then front-to-back cluster visits per ray block) in one ``lax.while_loop``;
   * ``hit_details`` — full hit record reconstructed only for the winning
@@ -346,57 +344,6 @@ def candidate_t(
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-def candidate_t_rows(
-    scene: SceneData,
-    pid: jnp.ndarray,  # i32[N] per-ray primitive ids
-    o,
-    d,
-    tm,
-    t_min,
-    t_max,
-) -> jnp.ndarray:
-    """Candidate t against a *gathered* primitive row per ray -> f32[N]."""
-    p = scene.params[:, pid]  # (16, N)
-    kind = scene.kind[pid]
-    if scene.any_xform:
-        o, d = _xform_rays(
-            scene.xf_rot[:, :, pid],
-            scene.xf_trans[:, pid],
-            scene.xf_inv_scale[pid],
-            o,
-            d,
-        )
-    return _t_switch(kind, p, o, d, tm, t_min, t_max, scene.stats.kinds_present or None)
-
-
-def candidate_t_static(
-    scene: SceneData,
-    pid: int,  # STATIC primitive id
-    kind: int,  # STATIC kind
-    o,
-    d,
-    tm,
-    t_min,
-    t_max,
-) -> jnp.ndarray:
-    """Candidate t against ONE statically-known primitive -> f32[N].
-
-    For light pdf queries (pdf.rs:56-77) the prim id is a compile-time
-    constant, so the row is a static slice and the formula a single static
-    branch — no per-ray gather, no masked switch.
-    """
-    p = scene.params[:, pid][:, None]  # (16, 1)
-    if scene.any_xform:
-        o, d = _xform_rays(
-            scene.xf_rot[:, :, pid][:, :, None],
-            scene.xf_trans[:, pid][:, None],
-            scene.xf_inv_scale[pid][None],
-            o,
-            d,
-        )
-    return _t_for_kind(kind, p, o, d, tm, t_min, t_max)
-
-
 def _medium_t(
     scene: SceneData,
     med_prim: int,
@@ -464,6 +411,7 @@ def traverse_clusters(
     t_min,
     t_max,
     block: int = 64,
+    return_steps: bool = False,
 ):
     """Closest hit over one cluster tree -> (t_best f32[N], best i32[N]).
 
@@ -580,9 +528,11 @@ def traverse_clusters(
         done = done | (e_next >= blk_cap)
         return i + 1, done, t_best, best
 
-    _, _, t_best, best = jax.lax.while_loop(
+    steps, _, t_best, best = jax.lax.while_loop(
         cond, body, (jnp.int32(0), done0, t_best0, best0)
     )
+    if return_steps:
+        return t_best.reshape(-1)[:n], best.reshape(-1)[:n], steps
     return t_best.reshape(-1)[:n], best.reshape(-1)[:n]
 
 
@@ -821,6 +771,7 @@ def closest_hit(
     t_min,
     t_max,
     key,
+    use_pallas: bool = False,
 ):
     """Closest hit over the whole scene -> ``(Hit, Shade)``.
 
@@ -828,14 +779,32 @@ def closest_hit(
     P up to a few hundred on the VPU).  Large scenes: BVH walk over the
     reordered prefix + brute force over the loose tail (mediums, boundary
     shadows), min-combined.
+
+    ``use_pallas`` routes tree walks through the per-packet 8-ary kernel
+    (ops/bvh8.py) — forward-only and TPU-only; the default XLA cluster walk
+    is differentiable and runs on any backend.
     """
     n = o.shape[1]
     t_best = jnp.full((n,), INF)
     best = jnp.zeros((n,), dtype=jnp.int32)
     brute_lo = scene.stats.n_in_bvh
+    run_pallas = (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and not isinstance(t_min, jax.core.Tracer)
+    )
     for i in range(len(scene.clusters)):
-        t_i, b_i = traverse_clusters(scene, i, o, d, tm, t_min, t_max)
-        take = t_i < t_best
+        tree8 = scene.bvh8[i] if run_pallas and i < len(scene.bvh8) else None
+        if tree8 is not None:
+            from .bvh8 import traverse_bvh8
+
+            t_i, b_i = traverse_bvh8(
+                tree8, scene.stats.trees[i][0], o, d, tm, float(t_min), t_init=t_best
+            )
+            take = (b_i >= 0) & (t_i < t_best) & (t_i <= t_max)
+        else:
+            t_i, b_i = traverse_clusters(scene, i, o, d, tm, t_min, t_max)
+            take = t_i < t_best
         t_best = jnp.where(take, t_i, t_best)
         best = jnp.where(take, b_i, best)
 

@@ -52,7 +52,12 @@ class TraceConfig(NamedTuple):
     background: Optional[tuple] = (0.0, 0.0, 0.0)  # None => book1/2 sky gradient
     t_min: float = 1e-3
     spawn_eps: float = 1e-4  # relative origin offset (f32 robustness); 0 = off
-    russian_roulette: bool = False  # capability beyond the reference
+    # Per-bounce coherence sort of the wavefront (ops/sort.py).  Off by
+    # default: measured on TPU v5e, lax.sort costs ~26 ms per 131k-lane
+    # bounce (6 payload rows) — more than the traversal time it saves on
+    # every scene in the library.  The hook stays for workloads with much
+    # deeper mesh trees where coherence is worth that price.
+    sort_rays: bool = False
     unroll: bool = False  # python-loop the bounces (debugging / small depths)
 
 
@@ -88,19 +93,22 @@ def _eval_vertex(
     throughput,
     alive,
     bounce_key,
+    use_pallas: bool = False,
 ) -> _Vertex:
     """One path vertex: closest-hit -> emitted -> scatter -> MIS sample.
 
     Shared by the scan integrator (differentiable) and the regeneration
-    integrator (fast forward).  Semantics follow ray_color exactly
-    (main.rs:233-278); see the module docstring for the faithful details.
+    integrator (fast forward, ``use_pallas``).  Semantics follow ray_color
+    exactly (main.rs:233-278); see the module docstring for details.
     """
     n = tm.shape[0]
     features = scene.stats.features
     has_lights = len(scene.stats.light_ids) > 0
     k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
 
-    hit, shade = closest_hit(scene, o, d, tm, cfg.t_min, jnp.inf, k_hit)
+    hit, shade = closest_hit(
+        scene, o, d, tm, cfg.t_min, jnp.inf, k_hit, use_pallas=use_pallas
+    )
     tex_val = texture_value(scene.textures, shade, hit, features)
     em = emitted(shade, hit, tex_val)
     sc = scatter(shade, hit, tex_val, d, tm, k_scatter)
@@ -216,12 +224,14 @@ def trace(
 
 def trace_regen(
     scene: SceneData,
-    gen_rays,  # (sample_key) -> (o (3,N), d (3,N), tm (N,)) fresh camera rays
+    gen_rays,  # (sample_key, pix i32[N]) -> (o (3,N), d (3,N), tm (N,))
+    pix0: jnp.ndarray,  # i32[N] initial lane -> pixel assignment
     spp_seq: int,  # samples each lane must complete
     key,
     cfg: TraceConfig,
 ) -> jnp.ndarray:
-    """Path-regeneration wavefront -> per-lane radiance SUM over spp_seq.
+    """Path-regeneration wavefront -> per-lane radiance SUM over spp_seq,
+    returned re-grouped by pixel (ascending ``pix``; ties keep multiplicity).
 
     TPU-native scheduling win over the fixed-depth scan: when a sample
     terminates (miss / absorbed / pdf-kill / depth cap) its lane immediately
@@ -231,25 +241,36 @@ def trace_regen(
     evaluations.  The per-sample estimator is IDENTICAL to :func:`trace`
     (same vertex math, same termination rules); only the schedule differs.
 
+    When ``cfg.sort_rays`` and the scene has an acceleration structure, the
+    wavefront is re-sorted by a coarse origin/direction key every bounce
+    (ops/sort.py) so the block-shared cluster traversal stays coherent; each
+    lane carries its pixel id so the final sort restores pixel grouping.
+
     ``lax.while_loop`` exits when every lane has finished its quota; this is
     forward-only (not reverse-differentiable) — the fit path uses ``trace``.
     """
-    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0))
+    from ..ops.sort import ray_sort_key, sort_by_key
+
+    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix0)
     n = tm0.shape[0]
     zeros3 = jnp.zeros((3, n))
     max_iter = spp_seq * cfg.max_depth + 1  # hard safety bound
+    do_sort = cfg.sort_rays and scene.use_bvh and n >= 2048
+    wb = scene.stats.world_bounds
 
     def cond(state):
-        it, _, _, _, _, _, done, _ = state
+        it, _, _, _, _, _, done, _, _ = state
         return (it < max_iter) & jnp.any(done < spp_seq)
 
     def body(state):
-        it, o, d, tm, throughput, radiance, done, depth = state
+        it, o, d, tm, throughput, radiance, done, depth, pix = state
         working = done < spp_seq
         step_key = jax.random.fold_in(key, it + 1)
         k_vertex, k_regen = jax.random.split(step_key)
 
-        vx = _eval_vertex(scene, cfg, o, d, tm, throughput, working, k_vertex)
+        vx = _eval_vertex(
+            scene, cfg, o, d, tm, throughput, working, k_vertex, use_pallas=True
+        )
         radiance = radiance + vx.radiance_add  # masked by `working`
 
         depth = depth + 1
@@ -258,7 +279,7 @@ def trace_regen(
         done = done + finished.astype(done.dtype)
 
         # regenerate finished lanes that still have samples left
-        o_new, d_new, tm_new = gen_rays(k_regen)
+        o_new, d_new, tm_new = gen_rays(k_regen, pix)
         regen = finished[None]
         o = jnp.where(regen, o_new, jnp.where(cont[None], vx.o, o))
         d = jnp.where(regen, d_new, jnp.where(cont[None], vx.d, d))
@@ -267,7 +288,29 @@ def trace_regen(
             regen, 1.0, jnp.where(cont[None], vx.throughput, throughput)
         )
         depth = jnp.where(finished, 0, depth)
-        return (it + 1, o, d, tm, throughput, radiance, done, depth)
+
+        if do_sort:
+            # re-pack neighboring lanes into coherent ray blocks; all
+            # per-lane state rides the one fused sort as payload
+            sort_key = ray_sort_key(o, d, wb[0], wb[1])
+            (
+                o0_, o1_, o2_, d0_, d1_, d2_, tm, th0, th1, th2,
+                r0, r1, r2, donef, depth, pix,
+            ) = sort_by_key(
+                sort_key,
+                (
+                    o[0], o[1], o[2], d[0], d[1], d[2], tm,
+                    throughput[0], throughput[1], throughput[2],
+                    radiance[0], radiance[1], radiance[2],
+                    done, depth, pix,
+                ),
+            )
+            o = jnp.stack([o0_, o1_, o2_])
+            d = jnp.stack([d0_, d1_, d2_])
+            throughput = jnp.stack([th0, th1, th2])
+            radiance = jnp.stack([r0, r1, r2])
+            done = donef
+        return (it + 1, o, d, tm, throughput, radiance, done, depth, pix)
 
     state = (
         jnp.int32(0),
@@ -278,6 +321,12 @@ def trace_regen(
         zeros3,
         jnp.zeros((n,), dtype=jnp.int32),
         jnp.zeros((n,), dtype=jnp.int32),
+        pix0,
     )
     state = jax.lax.while_loop(cond, body, state)
-    return state[5]
+    radiance, pix = state[5], state[8]
+    if do_sort:
+        # restore pixel grouping (lanes of one pixel become adjacent again)
+        r0, r1, r2 = sort_by_key(pix, (radiance[0], radiance[1], radiance[2]))
+        radiance = jnp.stack([r0, r1, r2])
+    return radiance

@@ -88,17 +88,21 @@ def render_batch_regen(
     """One device launch via path regeneration -> (3, H, W) radiance SUM
     over ``spp_par * spp_seq`` samples.  See integrator.trace_regen."""
     n = height * width * spp_par
-    ys = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width * spp_par)
-    xs = jnp.tile(jnp.repeat(jnp.arange(width, dtype=jnp.float32), spp_par), height)
+    # lane l starts on pixel l // spp_par (row-major); lanes migrate when
+    # the integrator sorts for coherence, so rays are generated from the
+    # lane's CURRENT pixel id
+    pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
     k_trace = jax.random.fold_in(key, 0x5EED)
 
-    def gen_rays(sample_key):
+    def gen_rays(sample_key, pix):
         k_u, k_v, k_cam = jax.random.split(sample_key, 3)
+        xs = (pix % width).astype(jnp.float32)
+        ys = (pix // width).astype(jnp.float32)
         u = (xs + jax.random.uniform(k_u, (n,))) / (width - 1)
         v = (ys + jax.random.uniform(k_v, (n,))) / (height - 1)
         return get_rays(camera, u, v, k_cam)
 
-    radiance = trace_regen(scene, gen_rays, spp_seq, k_trace, cfg)  # (3, N)
+    radiance = trace_regen(scene, gen_rays, pix0, spp_seq, k_trace, cfg)  # (3, N)
     return jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
 
 
@@ -112,12 +116,18 @@ _render_batch_regen_jit = jax.jit(
 )
 
 
-def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig):
+def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None):
     """Full render -> ((3, H, W) radiance sum, n_samples).
 
     Samples are taken in UNIFORM batches (one compile for all launches);
     cfg.spp is rounded UP to a batch multiple, and the actual sample count
     is returned for normalization.
+
+    ``progress``: optional callback ``(done_spp, total_spp)`` invoked after
+    each completed device launch — the reference's per-thread ``indicatif``
+    bars (main.rs:122-127, 135, 155) become per-launch render progress.
+    When set, long renders are split into several launches so the callback
+    fires at a useful cadence (all launches share one compilation).
     """
     key = jax.random.PRNGKey(cfg.seed)
     tcfg = cfg.trace_cfg()
@@ -131,24 +141,32 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig):
         batch = min(cfg.spp, max(1, cfg.max_rays_per_batch // (cfg.width * cfg.height)))
 
     if cfg.regen:
-        # one launch: `batch` parallel lanes per pixel, each tracing
-        # ceil(spp / batch) samples sequentially with regeneration.
-        # Regeneration only pays when each lane runs several samples, so cap
-        # the parallel split to keep spp_seq >= 8 (when spp allows).
+        # `batch` parallel lanes per pixel, each tracing spp_seq samples
+        # sequentially with regeneration.  Regeneration only pays when each
+        # lane runs several samples, so cap the parallel split to keep
+        # spp_seq >= 8 (when spp allows).
         if cfg.spp_per_batch == 0:
             batch = max(1, min(batch, cfg.spp // 8))
         spp_seq = -(-cfg.spp // batch)
-        total = _render_batch_regen_jit(
-            scene,
-            camera,
-            key,
-            width=cfg.width,
-            height=cfg.height,
-            spp_par=batch,
-            spp_seq=spp_seq,
-            cfg=tcfg,
-        )
-        return total, batch * spp_seq
+        # progress cadence: split the sequential quota over >= ~8 launches
+        chunk = spp_seq if progress is None else max(1, spp_seq // 8)
+        n_launches = -(-spp_seq // chunk)
+        total = jnp.zeros((3, cfg.height, cfg.width))
+        for i in range(n_launches):
+            total = total + _render_batch_regen_jit(
+                scene,
+                camera,
+                jax.random.fold_in(key, i),
+                width=cfg.width,
+                height=cfg.height,
+                spp_par=batch,
+                spp_seq=chunk,
+                cfg=tcfg,
+            )
+            if progress is not None:
+                total.block_until_ready()
+                progress((i + 1) * chunk * batch, n_launches * chunk * batch)
+        return total, n_launches * chunk * batch
 
     n_batches = -(-cfg.spp // batch)
     total = jnp.zeros((3, cfg.height, cfg.width))
@@ -162,23 +180,28 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig):
             spp=batch,
             cfg=tcfg,
         )
+        if progress is not None:
+            total.block_until_ready()
+            progress((i + 1) * batch, n_batches * batch)
     return total, n_batches * batch
 
 
-def render_sum(scene: SceneData, camera: Camera, cfg: RenderConfig) -> jnp.ndarray:
+def render_sum(
+    scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None
+) -> jnp.ndarray:
     """Full render -> (3, H, W) radiance MEAN-scaled sum over cfg.spp.
 
     Kept for API compatibility: the returned array divided by cfg.spp is the
     image mean (internally the sampler may take a few extra samples to keep
     batches uniform; the sum is rescaled accordingly).
     """
-    total, n = render_sum_n(scene, camera, cfg)
+    total, n = render_sum_n(scene, camera, cfg, progress=progress)
     if n != cfg.spp:
         total = total * (cfg.spp / n)
     return total
 
 
-def render(scene: SceneData, camera: Camera, cfg: RenderConfig):
+def render(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None):
     """Full render -> u8[H, W, 3] tone-mapped image."""
-    total, n = render_sum_n(scene, camera, cfg)
+    total, n = render_sum_n(scene, camera, cfg, progress=progress)
     return tonemap_u8(total, n)

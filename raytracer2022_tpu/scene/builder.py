@@ -423,7 +423,6 @@ class SceneBuilder:
         n = len(self.kind)
         kind = np.array(self.kind, dtype=np.int32)
         params = np.stack(self.params).T.astype(np.float32)  # (16, P)
-        iparams = np.array(self.iparams, dtype=np.int32).T.reshape(2, n)
         mat_id = np.array(self.mat_of, dtype=np.int32)
         flip = np.array(self.flip_of, dtype=bool)
         active = np.array(self.active_of, dtype=bool)
@@ -456,6 +455,10 @@ class SceneBuilder:
             )
             lo = sum(len(p) for p in tree_perm_parts)
             leaf = nodes["leaf_count"] > 0
+            # per-prim bounds in post-perm (leaf) order, for the 8-ary
+            # packet tree built below
+            pb_lo = np.stack([bboxes[j][0] for j in order])
+            pb_hi = np.stack([bboxes[j][1] for j in order])
             cluster_meta.append(
                 (
                     k,
@@ -465,6 +468,8 @@ class SceneBuilder:
                     ),
                     nodes["bmin"][:, leaf],
                     nodes["bmax"][:, leaf],
+                    pb_lo,
+                    pb_hi,
                 )
             )
             tree_perm_parts.append(ids[order])
@@ -480,7 +485,6 @@ class SceneBuilder:
         inv[perm] = np.arange(n)
         kind = kind[perm]
         params = params[:, perm]
-        iparams = iparams[:, perm]
         mat_id = mat_id[perm]
         flip = flip[perm]
         active = active[perm]
@@ -499,15 +503,26 @@ class SceneBuilder:
         # ray block per step with a single one-hot MXU dot.
         from ..ops.intersect import NPARAM_T
 
+        from ..ops.bvh8 import build_bvh8
+
         identity_xf = np.array([xf.is_identity() for xf in self.xform_of])[perm]
         cluster_trees = []
+        bvh8_trees = []
         trees = []
-        for k, windows, cbmin, cbmax in cluster_meta:
+        for k, windows, cbmin, cbmax, pb_lo, pb_hi in cluster_meta:
             starts = windows[:, 0]
             counts = windows[:, 1]
             m = cluster_size
             npar = NPARAM_T[k]
             has_xf = bool(not identity_xf[starts[0] : starts[-1] + counts[-1]].all())
+            # 8-ary packet tree (Pallas forward fast path) for untransformed
+            # kinds; transformed trees fall back to the cluster walk
+            if has_xf:
+                bvh8_trees.append(None)
+            else:
+                lo8 = int(starts[0])
+                gids = np.arange(lo8, lo8 + len(pb_lo))
+                bvh8_trees.append(build_bvh8(k, params, gids, pb_lo, pb_hi))
             # slot j of cluster c = prim start_c + min(j, count_c - 1)
             # (padding re-tests the last prim: harmless duplicate)
             pid = starts[:, None] + np.minimum(np.arange(m)[None, :], counts[:, None] - 1)
@@ -583,8 +598,30 @@ class SceneBuilder:
             param=jnp.array(self.mat_param, dtype=jnp.float32),
         )
 
+        # static world bounds for the ray-coherence sort key (finite prims
+        # only; the 5000-radius world-boundary medium shell in final_scene
+        # would flatten the quantization, so clip to active geometry).
+        # Tree prims reuse their already-computed bboxes; only the loose
+        # tail pays a prim_bbox call.
+        blos = [m[4].min(axis=0) for m in cluster_meta]
+        bhis = [m[5].max(axis=0) for m in cluster_meta]
+        for g in range(n_in_bvh, n):
+            if active[g] and kind[g] != MEDIUM:
+                lo_, hi_ = self.prim_bbox(int(perm[g]))
+                blos.append(lo_)
+                bhis.append(hi_)
+        if blos:
+            wlo = np.min(blos, axis=0)
+            whi = np.max(bhis, axis=0)
+        else:
+            wlo, whi = np.zeros(3), np.ones(3)
+
         stats = SceneStats(
             mediums=mediums,
+            world_bounds=(
+                tuple(float(x) for x in wlo),
+                tuple(float(x) for x in whi),
+            ),
             features=frozenset(features),
             light_ids=tuple(int(i) for i in lights),
             light_kinds=tuple(int(kind[i]) for i in lights),
@@ -600,7 +637,6 @@ class SceneBuilder:
         return SceneData(
             kind=jnp.asarray(kind),
             params=jnp.asarray(params),
-            iparams=jnp.asarray(iparams),
             mat_id=jnp.asarray(mat_id),
             flip=jnp.asarray(flip),
             active=jnp.asarray(active),
@@ -611,6 +647,7 @@ class SceneBuilder:
             textures=textures,
             lights=jnp.asarray(lights),
             clusters=tuple(cluster_trees),
+            bvh8=tuple(bvh8_trees),
             any_xform=any_xform,
             any_medium=bool(mediums),
             stats=stats,

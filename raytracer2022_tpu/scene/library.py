@@ -48,7 +48,7 @@ def _book_camera(lookfrom, lookat, vfov, aperture=0.0, focus=10.0, aspect=16 / 9
     )
 
 
-def random_scene(seed: int = 0, bvh_threshold: int = 4096) -> SceneBundle:
+def random_scene(seed: int = 0, bvh_threshold: int = 100) -> SceneBundle:
     """Book1 final scene + motion blur (scene.rs:22-84)."""
     b = SceneBuilder(seed=seed)
     rng = b.rng
@@ -239,19 +239,68 @@ def final_scene(seed: int = 0, source_dir: str = REFERENCE_SOURCE) -> SceneBundl
     return SceneBundle(b.finalize(), cam, background=(0.0, 0.0, 0.0), name="final_scene")
 
 
-def _import_obj(b: SceneBuilder, path: str, mat: int, zoom: float, rot_y: float, trans):
+def _import_obj(
+    b: SceneBuilder,
+    path: str,
+    mat: int,
+    zoom: float,
+    rot_y: float,
+    trans,
+    use_uvs: bool = False,
+):
     """OBJ triangle import (scene.rs:364-414): triangulated single-index
-    positions -> flat-lambertian triangles, then Zoom/RotateY/Translate."""
+    positions -> triangles, then Zoom/RotateY/Translate.
+
+    With ``use_uvs`` the file's per-corner ``vt`` texcoords are attached to
+    each triangle, feeding ObjTexture's barycentric uv interpolation
+    (texture/mod.rs:141-189); ``mat`` should then reference a
+    :meth:`SceneBuilder.objuv` texture.  (The reference defines ObjTexture
+    but its frozen scene shades meshes flat-Lambertian, scene.rs:398-404.)
+    """
     from .objio import load_obj
 
-    verts, faces = load_obj(path)
+    verts, faces, face_uvs = load_obj(path)
+    attach_uv = use_uvs and face_uvs is not None
     ids = [
-        b.triangle(verts[f[0]], verts[f[1]], verts[f[2]], mat) for f in faces
+        b.triangle(
+            verts[f[0]],
+            verts[f[1]],
+            verts[f[2]],
+            mat,
+            uv=face_uvs[i] if attach_uv else None,
+        )
+        for i, f in enumerate(faces)
     ]
     b.zoom(ids, zoom)
     b.rotate_y(ids, rot_y)
     b.translate(ids, trans)
     return ids
+
+
+def obj_uv_demo(seed: int = 0, source_dir: str = REFERENCE_SOURCE) -> SceneBundle:
+    """Smoke scene for the ObjTexture path (TEX_OBJUV): an earth-textured
+    uv-mapped quad mesh under the sky gradient.  Exercises the full chain
+    OBJ vt records -> per-triangle uv params -> barycentric interpolation ->
+    nearest-neighbor atlas sample (texture/mod.rs:141-189)."""
+    import tempfile
+
+    b = SceneBuilder(seed=seed)
+    tex = b.objuv(os.path.join(source_dir, "earthmap.jpg"))
+    mat = b.lambertian(tex)
+    quad = (
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1 2/2 3/3 4/4\n"
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write(quad)
+        path = f.name
+    try:
+        _import_obj(b, path, mat, zoom=2.0, rot_y=0.0, trans=(0.0, 0.0, 0.0), use_uvs=True)
+    finally:
+        os.unlink(path)
+    cam = _book_camera((0, 0, -6), (0, 0, 0), 40)
+    return SceneBundle(b.finalize(), cam, background=None, name="obj_uv_demo")
 
 
 def wwscene(seed: int = 0, source_dir: str = REFERENCE_SOURCE) -> SceneBundle:
@@ -336,6 +385,7 @@ def wwscene(seed: int = 0, source_dir: str = REFERENCE_SOURCE) -> SceneBundle:
 
 
 SCENES = {
+    "obj_uv_demo": obj_uv_demo,
     "random_scene": random_scene,
     "two_spheres": two_spheres,
     "two_perlin_spheres": two_perlin_spheres,

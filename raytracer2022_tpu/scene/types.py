@@ -118,7 +118,8 @@ class ClusterTree:
 
     ``pack`` columns (cluster-major): row 0 = window start prim id, row 1 =
     window count, rows 2.. = params param-major ([q * M + j] for param q of
-    slot j; padding slots replicate the cluster's first prim), then — when
+    slot j; padding slots replicate the cluster's LAST prim — the traversal
+    maps winner slot j to prim ``start + min(j, count-1)``), then — when
     the tree's prims carry transforms — rot(9M), trans(3M), inv_scale(M).
     """
 
@@ -156,16 +157,23 @@ class SceneStats:
     # All prim kinds present anywhere in the scene (gates the masked
     # formula switch in gathered-row evaluation / BVH leaves).
     kinds_present: Tuple[int, ...] = ()
+    # Static world AABB (min, max) — quantization box for the per-bounce
+    # ray-coherence sort key (ops/sort.py).
+    world_bounds: Tuple[Tuple[float, float, float], Tuple[float, float, float]] = (
+        (0.0, 0.0, 0.0),
+        (1.0, 1.0, 1.0),
+    )
 
 
 @flax.struct.dataclass
 class SceneData:
     """The complete compiled scene: geometry + shading tables + lights."""
 
-    # Geometry (P primitives, including inactive medium-boundary rows)
+    # Geometry (P primitives, including inactive medium-boundary rows).
+    # Medium boundary windows are static metadata (stats.mediums), not a
+    # device array — the bounce loop never reads them per ray.
     kind: jnp.ndarray  # i32[P]
     params: jnp.ndarray  # f32[NPARAM, P]
-    iparams: jnp.ndarray  # i32[2, P]
     mat_id: jnp.ndarray  # i32[P]
     flip: jnp.ndarray  # bool[P]  (FlipFace, hittable/mod.rs:267-292)
     active: jnp.ndarray  # bool[P] (False for medium boundary shadow prims)
@@ -182,6 +190,9 @@ class SceneData:
 
     # Per-kind cluster forest (see SceneStats.trees); empty tuple = all-dense
     clusters: Tuple[ClusterTree, ...] = ()
+    # 8-ary packet trees aligned with ``clusters`` (ops/bvh8.py) — the
+    # Pallas forward fast path; None where the tree carries transforms
+    bvh8: Tuple = ()
 
     # Static (non-traced) metadata
     any_xform: bool = flax.struct.field(pytree_node=False, default=False)

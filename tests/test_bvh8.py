@@ -1,0 +1,117 @@
+"""8-ary packet BVH (ops/bvh8.py) vs the dense brute-force oracle.
+
+Runs the Pallas kernel in interpreter mode (CPU) on small scenes of each
+supported kind and checks closest-hit parity with candidate_t.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer2022_tpu.ops.bvh8 import build_bvh8, traverse_bvh8
+from raytracer2022_tpu.ops.intersect import candidate_t
+from raytracer2022_tpu.scene.builder import SceneBuilder
+from raytracer2022_tpu.scene.types import MSPHERE, RECT, RING, SPHERE, TRIANGLE
+
+N_RAYS = 256
+T_MIN = 1e-3
+
+
+def _rays(rng, n=N_RAYS, lo=-30, hi=30):
+    o = rng.uniform(lo, hi, (3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    tm = rng.uniform(0, 1, n).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+
+
+def _build_scene(kind, rng, n_prims=100):
+    b = SceneBuilder()
+    mat = b.lambertian((0.5, 0.5, 0.5))
+    for _ in range(n_prims):
+        c = rng.uniform(-25, 25, 3)
+        if kind == SPHERE:
+            b.sphere(c, rng.uniform(0.5, 3.0), mat)
+        elif kind == MSPHERE:
+            b.moving_sphere(c, c + rng.uniform(-2, 2, 3), 0.0, 1.0, rng.uniform(0.5, 3.0), mat)
+        elif kind == RECT:
+            a0, b0 = c[0], c[1]
+            b._rect(a0, a0 + rng.uniform(1, 8), b0, b0 + rng.uniform(1, 8),
+                    c[2], int(rng.integers(0, 3)), mat)
+        elif kind == TRIANGLE:
+            b.triangle(c, c + rng.uniform(-4, 4, 3), c + rng.uniform(-4, 4, 3), mat)
+        elif kind == RING:
+            r = rng.uniform(2, 25)
+            b.ring(r, rng.uniform(0.05, 0.5), mat)
+    # low threshold so the single kind always gets a tree
+    return b.finalize(bvh_threshold=16, cluster_size=32)
+
+
+@pytest.mark.parametrize("kind", [SPHERE, MSPHERE, RECT, TRIANGLE, RING])
+def test_bvh8_matches_brute_force(rng, kind):
+    scene = _build_scene(kind, rng)
+    assert len(scene.bvh8) == 1 and scene.bvh8[0] is not None
+    o, d, tm = _rays(rng)
+
+    t8, b8 = traverse_bvh8(
+        scene.bvh8[0], kind, o, d, tm, T_MIN, interpret=True
+    )
+
+    tgrid = candidate_t(scene, o, d, tm, T_MIN, jnp.inf)
+    t_ref = jnp.min(tgrid, axis=0)
+    b_ref = jnp.argmin(tgrid, axis=0)
+
+    hit8 = np.asarray(b8) >= 0
+    hit_ref = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_array_equal(hit8, hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t8)[hit8], np.asarray(t_ref)[hit_ref], rtol=2e-5, atol=2e-5
+    )
+    # winner ids agree except exact-tie cases; then t must still agree.
+    # Random RINGs are concentric-plane bands that overlap: a plane hit at
+    # one t can lie in many bands (exact ties), so id tie-breaking is
+    # arbitrary there — t parity above is the contract.
+    if kind != RING:
+        same = np.asarray(b8)[hit8] == np.asarray(b_ref)[hit_ref]
+        assert same.mean() > 0.99
+
+
+def test_bvh8_inf_t_init(rng):
+    """Regression: +inf t_init (closest_hit's no-hit-yet lanes) must behave
+    exactly like the FAR default — an all-miss leaf once falsely updated
+    winners because its FAR sentinel compared < inf."""
+    scene = _build_scene(SPHERE, rng)
+    o, d, tm = _rays(rng)
+    t0, b0 = traverse_bvh8(scene.bvh8[0], SPHERE, o, d, tm, T_MIN, interpret=True)
+    t1, b1 = traverse_bvh8(
+        scene.bvh8[0], SPHERE, o, d, tm, T_MIN,
+        t_init=jnp.full((o.shape[1],), jnp.inf), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1))
+
+
+def test_bvh8_t_init_prunes(rng):
+    scene = _build_scene(SPHERE, rng)
+    o, d, tm = _rays(rng)
+    t8, b8 = traverse_bvh8(scene.bvh8[0], SPHERE, o, d, tm, T_MIN, interpret=True)
+    # with t_init at half the found t, nothing can beat it -> best == -1
+    t_half = jnp.where(b8 >= 0, t8 * 0.5, 1e30)
+    t2, b2 = traverse_bvh8(
+        scene.bvh8[0], SPHERE, o, d, tm, T_MIN, t_init=t_half, interpret=True
+    )
+    assert bool((b2 == -1).all())
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t_half), rtol=1e-6)
+
+
+def test_closest_hit_pallas_parity(rng):
+    """closest_hit with use_pallas (interpret path is CPU-skipped, so this
+    just checks the routing doesn't break the default path off-TPU)."""
+    from raytracer2022_tpu.ops.intersect import closest_hit
+
+    scene = _build_scene(SPHERE, rng)
+    o, d, tm = _rays(rng)
+    key = jax.random.PRNGKey(0)
+    h1, _ = closest_hit(scene, o, d, tm, T_MIN, jnp.inf, key)
+    h2, _ = closest_hit(scene, o, d, tm, T_MIN, jnp.inf, key, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t))

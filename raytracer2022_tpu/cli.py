@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     parser.add_argument("--sharded", action="store_true", help="shard spp over all devices")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
+    # multi-host (pod-slice) execution: one process per host
+    parser.add_argument("--coordinator", default=None, help="host:port of process 0 (multi-host)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
 
     from raytracer2022_tpu import RenderConfig, make_camera, save_image, tonemap_u8
@@ -65,6 +69,11 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.coordinator:
+        from raytracer2022_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+
     try:  # persistent compile cache: repeated CLI renders skip XLA compiles
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/rt2022_xla"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -84,7 +93,7 @@ def main(argv=None) -> int:
             mesh = make_device_mesh()
             total = render_sharded_sum(bundle.scene, camera, cfg, mesh)
         else:
-            total = render_sum(bundle.scene, camera, cfg)
+            total = render_sum(bundle.scene, camera, cfg, progress=log.progress)
         total.block_until_ready()
     dt = time.perf_counter() - t0
 
@@ -93,10 +102,11 @@ def main(argv=None) -> int:
     img = tonemap_u8(total, cfg.spp)
 
     log.stage(5)
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_image(args.out, img)
-    if not args.quiet:
-        print(f'Output image as "{args.out}"')
+    if jax.process_index() == 0:  # one writer under multi-host
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        save_image(args.out, img)
+        if not args.quiet:
+            print(f'Output image as "{args.out}"')
     log.done()
     return 0
 

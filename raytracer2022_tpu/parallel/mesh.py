@@ -12,7 +12,7 @@ camera are replicated; the only collective is the final image reduction
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Optional
 
 import jax
@@ -28,6 +28,28 @@ from ..scene.types import SceneData
 def make_device_mesh(devices=None, axis_name: str = "chips") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_render_fn(mesh: Mesh, axis_name: str, width, height, spp_local, tcfg):
+    """Build-and-cache the jitted sharded render (keyed on mesh + shape) so
+    repeated renders reuse one compilation."""
+
+    def shard_fn(scene, camera, key):
+        idx = jax.lax.axis_index(axis_name)
+        local_key = jax.random.fold_in(key, idx)
+        part = render_batch(scene, camera, local_key, width, height, spp_local, tcfg)
+        return jax.lax.psum(part, axis_name)
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
 
 
 def render_sharded_sum(
@@ -46,26 +68,16 @@ def render_sharded_sum(
     n_chips = mesh.devices.size
     assert cfg.spp % n_chips == 0, "spp must divide evenly over chips"
     spp_local = cfg.spp // n_chips
-    tcfg = cfg.trace_cfg()
-
-    def shard_fn(scene, camera, key):
-        idx = jax.lax.axis_index(axis_name)
-        local_key = jax.random.fold_in(key, idx)
-        part = render_batch(
-            scene, camera, local_key, cfg.width, cfg.height, spp_local, tcfg
-        )
-        return jax.lax.psum(part, axis_name)
-
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
+    fn = _sharded_render_fn(
+        mesh, axis_name, cfg.width, cfg.height, spp_local, cfg.trace_cfg()
     )
     key = jax.random.PRNGKey(cfg.seed)
+    # explicit replicated placement: required under multi-process
+    # (jax.distributed) where the mesh spans non-addressable devices; every
+    # process holds identical host values, which fully-replicated
+    # device_put accepts
+    rep = NamedSharding(mesh, P())
+    scene, camera, key = jax.device_put((scene, camera, key), rep)
     return fn(scene, camera, key)
 
 

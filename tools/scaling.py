@@ -1,0 +1,101 @@
+"""Scaling-efficiency measurement on the virtual CPU mesh (SURVEY §2 row 34).
+
+Multi-chip hardware is not reachable from this sandbox (one TPU chip via a
+tunnel), so the collective-overhead side of the >=85% BASELINE target is
+measured the way the survey prescribes: N virtual CPU devices in one
+process.  Virtual devices timeshare the same host cores, so raw wall-clock
+does NOT scale with N; what CAN be measured honestly is the sharding
+overhead — the ratio between
+
+  t_single : the whole workload on ONE device (no mesh, no collectives)
+  t_sharded: the same total workload spp-sharded over N devices with the
+             production shard_map + psum pipeline
+
+on a compute-saturated shape.  efficiency = t_single / t_sharded.  On real
+chips the per-chip work is embarrassingly parallel (disjoint spp slices,
+zero cross-chip traffic until the final psum of a (3, H, W) image), so the
+virtual-mesh overhead ratio bounds the collective/partition cost of the
+design.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main(argv=None) -> int:
+    n_dev = int(argv[0]) if argv else 8
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count={n_dev}"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from raytracer2022_tpu import RenderConfig, make_camera
+    from raytracer2022_tpu.parallel.mesh import make_device_mesh, render_sharded_sum
+    from raytracer2022_tpu.render.renderer import render_batch
+    from raytracer2022_tpu.scene.library import cornell_box
+
+    bundle = cornell_box()
+    cam = make_camera(**bundle.camera_kwargs)
+    W = H = 64
+    SPP = 2 * n_dev
+    DEPTH = 16
+    cfg = RenderConfig(width=W, height=H, spp=SPP, max_depth=DEPTH, background=bundle.background)
+    key = jax.random.PRNGKey(0)
+
+    # single device, whole workload
+    single = jax.jit(
+        lambda k: render_batch(bundle.scene, cam, k, W, H, SPP, cfg.trace_cfg())
+    )
+    jax.block_until_ready(single(key))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(single(jax.random.fold_in(key, i)))
+        ts.append(time.perf_counter() - t0)
+    t_single = sorted(ts)[1]
+
+    # same workload sharded over the mesh (spp/n per device + psum)
+    mesh = make_device_mesh()
+    jax.block_until_ready(render_sharded_sum(bundle.scene, cam, cfg, mesh))
+    ts = []
+    for i in range(3):
+        cfg_i = RenderConfig(
+            width=W, height=H, spp=SPP, max_depth=DEPTH,
+            background=bundle.background, seed=i,
+        )
+        t0 = time.perf_counter()
+        jax.block_until_ready(render_sharded_sum(bundle.scene, cam, cfg_i, mesh))
+        ts.append(time.perf_counter() - t0)
+    t_sharded = sorted(ts)[1]
+
+    speedup = t_single / t_sharded
+    cores = os.cpu_count() or 1
+    print(
+        json.dumps(
+            {
+                "n_devices": n_dev,
+                "host_cores": cores,
+                "t_single_s": round(t_single, 3),
+                "t_sharded_s": round(t_sharded, 3),
+                "speedup_sharded_vs_single": round(speedup, 3),
+                # virtual devices timeshare `cores` host cores, so perfect
+                # sharding = a speedup of min(n_dev, cores); the ratio is
+                # the parallel efficiency of the shard_map+psum pipeline
+                "parallel_efficiency": round(speedup / min(n_dev, cores), 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv[1:]))

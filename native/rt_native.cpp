@@ -26,15 +26,25 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 struct ObjData {
-  std::vector<double> verts;   // 3 * nv
-  std::vector<double> uvs;     // 2 * nt
-  std::vector<int64_t> faces;  // 3 * nf (position indices, 0-based)
+  std::vector<double> verts;      // 3 * nv
+  std::vector<double> uvs;        // 2 * nt
+  std::vector<int64_t> faces;     // 3 * nf (position indices, 0-based)
+  std::vector<int64_t> face_uvs;  // 3 * nf (texcoord indices, -1 = none)
 };
 
 // Parse one whitespace-separated token's leading integer (OBJ "i/j/k" form).
 static int64_t resolve_index(const char* tok, int64_t nv) {
   int64_t idx = strtoll(tok, nullptr, 10);
   return idx > 0 ? idx - 1 : nv + idx;
+}
+
+// Parse the texcoord index of an OBJ face token ("p/t" or "p/t/n"); -1 when
+// the token has no texcoord part ("p" or "p//n").
+static int64_t resolve_uv_index(const char* tok, int64_t nt) {
+  const char* slash = strchr(tok, '/');
+  if (!slash || slash[1] == '\0' || slash[1] == '/') return -1;
+  int64_t idx = strtoll(slash + 1, nullptr, 10);
+  return idx > 0 ? idx - 1 : nt + idx;
 }
 
 void* rt_obj_open(const char* path) {
@@ -59,17 +69,23 @@ void* rt_obj_open(const char* path) {
       }
     } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
       poly.clear();
+      std::vector<int64_t> poly_uv;
       int64_t nv = (int64_t)(obj->verts.size() / 3);
+      int64_t nt = (int64_t)(obj->uvs.size() / 2);
       char* save = nullptr;
       for (char* tok = strtok_r(line + 2, " \t\r\n", &save); tok;
            tok = strtok_r(nullptr, " \t\r\n", &save)) {
         poly.push_back(resolve_index(tok, nv));
+        poly_uv.push_back(resolve_uv_index(tok, nt));
       }
       // fan triangulation, matching tobj's `triangulate` option
       for (size_t k = 1; k + 1 < poly.size(); ++k) {
         obj->faces.push_back(poly[0]);
         obj->faces.push_back(poly[k]);
         obj->faces.push_back(poly[k + 1]);
+        obj->face_uvs.push_back(poly_uv[0]);
+        obj->face_uvs.push_back(poly_uv[k]);
+        obj->face_uvs.push_back(poly_uv[k + 1]);
       }
     }
   }
@@ -90,6 +106,16 @@ void rt_obj_fill(void* h, double* verts, int64_t* faces, double* uvs) {
   memcpy(faces, obj->faces.data(), obj->faces.size() * sizeof(int64_t));
   if (uvs && !obj->uvs.empty())
     memcpy(uvs, obj->uvs.data(), obj->uvs.size() * sizeof(double));
+}
+
+// Per-corner texcoord indices of the triangulated faces (3 * nf, -1 = the
+// corner's token had no vt part) — the channel ObjTexture consumes
+// (reference texture/mod.rs:141-189 via tobj single_index).
+void rt_obj_fill_face_uvs(void* h, int64_t* face_uvs) {
+  ObjData* obj = (ObjData*)h;
+  if (face_uvs && !obj->face_uvs.empty())
+    memcpy(face_uvs, obj->face_uvs.data(),
+           obj->face_uvs.size() * sizeof(int64_t));
 }
 
 void rt_obj_close(void* h) { delete (ObjData*)h; }

@@ -68,6 +68,11 @@ def _load():
         ]
         lib.rt_obj_close.restype = None
         lib.rt_obj_close.argtypes = [ctypes.c_void_p]
+        lib.rt_obj_fill_face_uvs.restype = None
+        lib.rt_obj_fill_face_uvs.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
 
         lib.rt_build_bvh.restype = ctypes.c_int64
         lib.rt_build_bvh.argtypes = [
@@ -96,7 +101,13 @@ def _ptr(a, ctype):
 
 
 def load_obj_native(path: str):
-    """Native OBJ parse -> (verts f64[V,3], faces i64[F,3]) or None."""
+    """Native OBJ parse -> (verts f64[V,3], faces i64[F,3],
+    face_uvs f64[F,3,2] | None) or None when the library is unavailable.
+
+    ``face_uvs`` carries the per-corner texcoords resolved from the file's
+    ``vt`` records — the ObjTexture channel (reference texture/mod.rs:141-189
+    via tobj single_index) — or None when the mesh has no vt data.
+    """
     lib = _load()
     if lib is None:
         return None
@@ -117,7 +128,15 @@ def load_obj_native(path: str):
             _ptr(faces, ctypes.c_int64),
             _ptr(uvs, ctypes.c_double),
         )
-        return verts, faces
+        face_uvs = None
+        if nt.value > 0:
+            fuv_idx = np.full((nf.value, 3), -1, dtype=np.int64)
+            lib.rt_obj_fill_face_uvs(h, _ptr(fuv_idx, ctypes.c_int64))
+            if (fuv_idx >= 0).any():
+                safe = np.clip(fuv_idx, 0, nt.value - 1)
+                face_uvs = uvs[safe]  # (F, 3, 2)
+                face_uvs[fuv_idx < 0] = 0.0
+        return verts, faces, face_uvs
     finally:
         lib.rt_obj_close(h)
 

@@ -25,12 +25,42 @@ def test_obj_native_matches_python(tmp_path):
         "# comment\nv 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
         "vt 0.5 0.5\nf 1/1 2/1 3/1 4/1\nf -1 -2 -3\n"
     )
-    v, f = native.load_obj_native(str(obj))
+    v, f, fuv = native.load_obj_native(str(obj))
     assert v.shape == (4, 3)
     # quad fan-triangulates to 2 faces + 1 negative-index face
     assert f.shape == (3, 3)
     assert f[0].tolist() == [0, 1, 2] and f[1].tolist() == [0, 2, 3]
     assert f[2].tolist() == [3, 2, 1]
+    # uv channel: corners with "p/t" carry vt, bare "p" corners get 0
+    assert fuv.shape == (3, 3, 2)
+    np.testing.assert_allclose(fuv[0], 0.5)
+    np.testing.assert_allclose(fuv[2], 0.0)
+
+
+def test_obj_uv_native_matches_python(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0.1 0.2\nvt 0.9 0.2\nvt 0.1 0.8\n"
+        "f 1/1 2/2 3/3\nf 1/3 2/2 3/1\n"
+    )
+    from raytracer2022_tpu.scene import objio
+
+    v_n, f_n, uv_n = native.load_obj_native(str(obj))
+    import os
+
+    os.environ["RT2022_NO_NATIVE"] = "1"
+    try:
+        native._tried, native._lib = False, None
+        v_p, f_p, uv_p = objio.load_obj(str(obj))
+    finally:
+        del os.environ["RT2022_NO_NATIVE"]
+        native._tried, native._lib = False, None
+    np.testing.assert_allclose(v_n, v_p)
+    np.testing.assert_array_equal(f_n, f_p)
+    np.testing.assert_allclose(uv_n, uv_p)
+    np.testing.assert_allclose(uv_n[0], [[0.1, 0.2], [0.9, 0.2], [0.1, 0.8]])
+    np.testing.assert_allclose(uv_n[1], [[0.1, 0.8], [0.9, 0.2], [0.1, 0.2]])
 
 
 def test_obj_native_shuttle():
@@ -38,7 +68,7 @@ def test_obj_native_shuttle():
 
     if not os.path.exists(SHUTTLE):
         pytest.skip("reference Shuttle.obj not mounted")
-    v, f = native.load_obj_native(SHUTTLE)
+    v, f, _ = native.load_obj_native(SHUTTLE)
     assert v.shape == (7174, 3)  # SURVEY.md §6: 7,174 verts / 13,079 tris
     assert f.shape == (13079, 3)
     assert f.min() >= 0 and f.max() < len(v)

@@ -1,20 +1,24 @@
-"""Benchmark: Cornell-box path-tracing throughput on one TPU chip.
+"""Benchmark: all five BASELINE configs on one TPU chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-"fwd_bwd_paths_per_s": N}.
+Prints ONE JSON line.  Headline `value` = FORWARD primary paths/s on the
+book3 Cornell box (256x256, depth 50, production path-regeneration
+renderer) — directly comparable to the reference's own forward-only render
+workload (2560x1440 x 2000 spp x depth<=50 on 8 CPU threads,
+reference: raytracer/src/main.rs:33-41; it publishes no numbers, so
+`vs_baseline` divides by 1 Mpaths/s, a generous estimate for an
+unoptimized RTiOW-style Rust tracer on 8 cores).
 
-Headline = FORWARD primary paths/s with the production (path-regeneration)
-renderer — the reference's own benchmark is a forward render (its final
-workload: 2560x1440 x 2000 spp x depth<=50 on 8 CPU threads, main.rs:33-41;
-no numbers published, BASELINE.md).  vs_baseline divides by a generous
-estimate of the reference's CPU throughput: 1 Mpaths/s on 8 threads (an
-unoptimized RTiOW-style Rust tracer measures 50-200 kpaths/s/core on this
-kind of scene).  The secondary field reports forward+backward paths/s
-through the differentiable (scan) integrator — the capability the reference
-does not have at all.
+Extra fields, one per BASELINE.json config:
+  book1_Mpaths_s      random_scene   (spheres, DoF camera, motion blur)
+  book2_Mpaths_s      final_scene    (BVH boxes, volumes, textures)
+  book3_Mpaths_s      cornell_box    (= headline, MIS)
+  obj_Mpaths_s        wwscene        (13k-triangle OBJ + planets + rings)
+  fit_step_s          one fwd+bwd+SGD step of the albedo/emission fit on
+                      cornell (the differentiable capability, config 5)
+  fwd_bwd_paths_per_s fwd+bwd throughput through the scan integrator
 
-Timing note: the axon tunnel backend's block_until_ready can return before
-execution finishes; a device_get is the only reliable fence.
+Timing uses a device_get fence: the axon tunnel backend's
+block_until_ready can return before execution finishes.
 """
 
 from __future__ import annotations
@@ -37,8 +41,9 @@ except Exception:
     pass
 
 from raytracer2022_tpu import RenderConfig, make_camera
+from raytracer2022_tpu.parallel.mesh import fit_step_fn
 from raytracer2022_tpu.render.renderer import render_batch, render_batch_regen
-from raytracer2022_tpu.scene.library import cornell_box
+from raytracer2022_tpu.scene.library import SCENES
 
 REF_CPU_PATHS_PER_S = 1e6  # generous estimate (no published numbers)
 
@@ -59,26 +64,38 @@ def _median_time(fn, key, reps=5):
     return times[len(times) // 2]
 
 
-def main():
-    bundle = cornell_box()
+def forward_mpaths(scene_name: str, w: int, h: int, spp_par: int, spp_seq: int, key):
+    bundle = SCENES[scene_name]()
     cam = make_camera(**bundle.camera_kwargs)
-    W = H = 256
-    DEPTH = 50
-    cfg = RenderConfig(width=W, height=H, spp=64, max_depth=DEPTH, background=bundle.background)
+    cfg = RenderConfig(width=w, height=h, max_depth=50, background=bundle.background)
     tcfg = cfg.trace_cfg()
-    key = jax.random.PRNGKey(0)
-    scene = bundle.scene
-
-    # --- forward: production path-regeneration renderer, 128 spp
-    SPP_PAR, SPP_SEQ = 2, 64
-    fwd = jax.jit(
-        lambda k: render_batch_regen(scene, cam, k, W, H, SPP_PAR, SPP_SEQ, tcfg)
+    fn = jax.jit(
+        lambda k: render_batch_regen(bundle.scene, cam, k, w, h, spp_par, spp_seq, tcfg)
     )
-    t_fwd = _median_time(fwd, key)
-    fwd_paths = W * H * SPP_PAR * SPP_SEQ / t_fwd
+    t = _median_time(fn, key)
+    return w * h * spp_par * spp_seq / t / 1e6, bundle
 
-    # --- forward+backward: differentiable scan integrator, 64 spp
+
+def main():
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    # --- book3 cornell (headline): 256x256, 128 spp
+    book3, cornell = forward_mpaths("cornell_box", 256, 256, 2, 64, key)
+    out["book3_Mpaths_s"] = round(book3, 2)
+
+    # --- book1 random_scene, book2 final_scene, OBJ wwscene: 128x128, 64 spp
+    out["book1_Mpaths_s"] = round(forward_mpaths("random_scene", 128, 128, 8, 8, key)[0], 2)
+    out["book2_Mpaths_s"] = round(forward_mpaths("final_scene", 128, 128, 8, 8, key)[0], 2)
+    out["obj_Mpaths_s"] = round(forward_mpaths("wwscene", 128, 128, 8, 8, key)[0], 2)
+
+    # --- fwd+bwd: differentiable scan integrator on cornell, 64 spp
+    W = H = 256
     SPP = 64
+    cfg = RenderConfig(width=W, height=H, spp=SPP, max_depth=50, background=cornell.background)
+    tcfg = cfg.trace_cfg()
+    scene = cornell.scene
+    cam = make_camera(**cornell.camera_kwargs)
 
     def loss_fn(mat_param, tex_color, k):
         s = scene.replace(
@@ -93,16 +110,30 @@ def main():
         )
     )
     t_fb = _median_time(fwd_bwd, key, reps=3)
-    fb_paths = W * H * SPP / t_fb
+    out["fwd_bwd_paths_per_s"] = round(W * H * SPP / t_fb, 1)
+
+    # --- config 5: one full fit step (render + MSE + backprop + SGD)
+    fit_cfg = RenderConfig(width=64, height=64, spp=32, max_depth=8, background=cornell.background)
+    step = fit_step_fn(fit_cfg)
+    target = jnp.zeros((3, 64, 64))
+    s2, c2, loss = step(scene, cam, target, key)  # compile
+    _sync(loss)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        s2, c2, loss = step(scene, cam, target, jax.random.fold_in(key, i))
+        _sync(loss)
+        ts.append(time.perf_counter() - t0)
+    out["fit_step_s"] = round(sorted(ts)[1], 3)
 
     print(
         json.dumps(
             {
                 "metric": "forward primary paths/s/chip, Cornell box depth-50",
-                "value": round(fwd_paths, 1),
+                "value": round(book3 * 1e6, 1),
                 "unit": "paths/s",
-                "vs_baseline": round(fwd_paths / REF_CPU_PATHS_PER_S, 3),
-                "fwd_bwd_paths_per_s": round(fb_paths, 1),
+                "vs_baseline": round(book3 * 1e6 / REF_CPU_PATHS_PER_S, 3),
+                **out,
             }
         )
     )

@@ -83,7 +83,12 @@ def take_cols(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.ndar
     if not _use_onehot(k, idx.shape[-1]):
         return jnp.take(table, idx, axis=-1)
     if jnp.issubdtype(table.dtype, jnp.integer) or table.dtype == jnp.bool_:
-        passes = min(passes, 2)  # ids/flags: 16 bits of mantissa suffice
+        # ids/flags: 2 bf16 passes carry ~16 mantissa bits, exact for values
+        # < 2^16.  All integer tables here hold prim/mat/tex ids bounded by
+        # table sizes (<= _MAX_K = 2048); a table holding values >= 2^16
+        # would be reconstructed inexactly — keep the default 3 passes for
+        # such tables by passing ``passes=3`` explicitly.
+        passes = min(passes, 2)
     return _restore_dtype(onehot_matmul(table, idx, passes=passes), table.dtype)
 
 

@@ -151,49 +151,3 @@ def eval_texture_shade(
         checker_val = jnp.where((sines < 0.0)[None], shade.odd, shade.even)
         value = jnp.where(kind[None] == TEX_CHECKER, checker_val, value)
     return value
-
-
-def eval_texture(
-    tt: TextureTable,
-    tid: jnp.ndarray,  # i32[N]
-    u: jnp.ndarray,
-    v: jnp.ndarray,
-    p: jnp.ndarray,  # (3, N)
-    tex_uv: jnp.ndarray,  # (2, N)
-    features: frozenset = frozenset(),
-) -> jnp.ndarray:
-    """Texture value for per-ray texture ids (Texture::value dispatch).
-
-    All per-texture rows — including the checker sub-texture colors, which
-    are pre-resolved per texture id with a cheap T-sized static gather —
-    come from ONE one-hot contraction (ops/tables.py); per-ray gathers from
-    small tables are the TPU anti-pattern.
-    """
-    from .tables import take_cols_multi
-
-    # per-texture image sizes pre-resolved with a T-sized static gather
-    tables = [tt.kind, tt.color, tt.scale, tt.img, tt.atlas_size[:, tt.img]]
-    if "checker" in features:
-        # per-texture odd/even solid colors (texture/mod.rs:40-48)
-        tables.append(tt.color[:, tt.sub[0]])
-        tables.append(tt.color[:, tt.sub[1]])
-    rows = take_cols_multi(tables, tid)
-    kind, value, sc, img_id, wh = rows[:5]  # value = TEX_SOLID color (mod.rs:26-28)
-    img_h, img_w = wh[0], wh[1]
-
-    if "noise" in features:
-        # NoiseTexture marble (texture/mod.rs:76-78)
-        noise_val = 0.5 * (1.0 + jnp.sin(sc * p[2] + 10.0 * perlin_turb(tt, p)))
-        value = jnp.where(kind[None] == TEX_NOISE, noise_val[None], value)
-    if "image" in features:
-        img_val = _eval_image(tt, img_id, img_w, img_h, u, v)
-        value = jnp.where(kind[None] == TEX_IMAGE, img_val, value)
-    if "objuv" in features:
-        obj_val = _eval_objuv(tt, img_id, img_w, img_h, tex_uv)
-        value = jnp.where(kind[None] == TEX_OBJUV, obj_val, value)
-    if "checker" in features:
-        # CheckerTexture sine-product select (texture/mod.rs:52-59).
-        sines = jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1]) * jnp.sin(10.0 * p[2])
-        checker_val = jnp.where((sines < 0.0)[None], rows[5], rows[6])
-        value = jnp.where(kind[None] == TEX_CHECKER, checker_val, value)
-    return value

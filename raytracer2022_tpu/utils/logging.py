@@ -58,6 +58,26 @@ class StageLogger:
         for k, v in kv.items():
             print(f"{k.upper().replace('_', ' ')}: {yellow(str(v))}", flush=True)
 
+    def progress(self, done: int, total: int) -> None:
+        """In-place render progress bar with ETA (the reference's indicatif
+        per-thread bars, main.rs:122-127, 135, 155)."""
+        if self.quiet:
+            return
+        if not hasattr(self, "_p0"):
+            self._p0 = time.perf_counter()
+        frac = done / max(total, 1)
+        elapsed = time.perf_counter() - self._p0
+        eta = elapsed / max(frac, 1e-9) * (1.0 - frac)
+        width = 30
+        bar = "=" * int(frac * width) + ">" + " " * (width - int(frac * width))
+        end = "\n" if done >= total else "\r"
+        print(
+            f"      [{bar}] {done}/{total} spp  "
+            f"{yellow(f'{elapsed:.0f}s')} elapsed, ETA {yellow(f'{eta:.0f}s')}   ",
+            end=end,
+            flush=True,
+        )
+
     def done(self) -> None:
         if self.quiet:
             return

@@ -4,7 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 
 import oracle
-from raytracer2022_tpu.ops.textures import eval_texture, perlin_noise, perlin_turb
+from raytracer2022_tpu.ops.shade import shade_from_rows, shade_table
+from raytracer2022_tpu.ops.textures import eval_texture_shade, perlin_noise, perlin_turb
 from raytracer2022_tpu.scene.builder import SceneBuilder
 
 
@@ -16,14 +17,20 @@ def _scene_with(builder_fn):
 
 
 def _eval(scene, tid, p, u=None, v=None):
+    """Evaluate through the PRODUCTION texture path: per-prim shading rows
+    (ops/shade.py) fetched for the single test prim, then
+    eval_texture_shade — the same dispatch the integrator runs."""
     n = p.shape[1]
     u = jnp.zeros(n) if u is None else jnp.asarray(u)
     v = jnp.zeros(n) if v is None else jnp.asarray(v)
-    tids = jnp.full((n,), tid, dtype=jnp.int32)
+    srows = shade_table(scene)  # (S, P); test prim is id 0
+    shade = shade_from_rows(
+        jnp.broadcast_to(srows[:, 0:1], (srows.shape[0], n)), scene.stats.features
+    )
     return np.asarray(
-        eval_texture(
+        eval_texture_shade(
             scene.textures,
-            tids,
+            shade,
             u,
             v,
             jnp.asarray(p, dtype=jnp.float32),

@@ -29,16 +29,38 @@ import numpy as np
 
 REFERENCE = os.environ.get("RT2022_REFERENCE_DIR", "/root/reference")
 
-# scene -> golden relpath.  Only goldens that correspond to the FROZEN source
-# are used for quantitative checks: the committed book renders are historical
-# milestones whose code was edited away (e.g. book3's cornell has green at
-# x=555 and light 15 where the frozen scene.rs:165-196 has red and light 60).
+# scene -> golden relpath + structural-deviation notes.  The committed book
+# renders are historical milestones whose code was partly edited away; only
+# output/output.jpg was produced by the frozen sources.  Known structural
+# deviations that put an MAE floor under a scene regardless of spp:
+#   random_scene  — the reference builds it with an UNSEEDED thread_rng
+#                   (scene.rs:30-35): its own golden is unreproducible even
+#                   by itself; layout differs, palette/exposure comparable.
+#   cornell_box   — frozen source swapped red/green walls and brightened the
+#                   light 15->60 vs every committed cornell golden
+#                   (scene.rs:168-176); cornell_box_book is the golden-
+#                   faithful variant.
+#   final_scene / cornell_smoke — unseeded rng for the box-height field /
+#                   identical build, plus milestone-era material tweaks.
 GOLDEN_MAP = {
+    # checker-ground + motion-blur variant of the sphere field (the frozen
+    # random_scene, scene.rs:22-84); layout differs (unseeded rng)
+    "random_scene": "output/book2/image2.jpg",
     "two_perlin_spheres": "output/book2/image13.jpg",  # marble sphere + ground
     "simple_light": "output/book2/image17.jpg",
+    "cornell_box": "output/book2/image18.jpg",  # frozen cfg vs book colors: wall swap + 4x light
     "cornell_box_book": "output/book2/image18.jpg",  # empty cornell, book colors
+    "cornell_smoke": "output/book2/image21.jpg",  # two smoke boxes
+    "final_scene": "output/book2/Finanscene.jpg",  # book2 final composite
     "wwscene": "output/output.jpg",  # the frozen main.rs render
 }
+
+# Scenes with NO committed golden anywhere in the reference's 50 renders
+# (verified by visual inspection of output/book{1,2,3} + output/): the
+# two_spheres checker pair and the standalone earth sphere were never
+# committed.  They are validated by unit oracles + the scan/regen
+# cross-check instead; GOLDEN.md records this.
+NO_GOLDEN = ("two_spheres", "earth", "obj_uv_demo")
 
 
 def downsample(img: np.ndarray, gh: int, gw: int) -> np.ndarray:

@@ -406,7 +406,12 @@ class SceneBuilder:
         return wc.min(axis=0), wc.max(axis=0)
 
     # ------------------------------------------------------------- finalize
-    def finalize(self, bvh_threshold: int = 512, cluster_size: int = 128) -> SceneData:
+    def finalize(
+        self,
+        bvh_threshold: int = 512,
+        cluster_size: int = 128,
+        bvh8_kinds: Optional[tuple] = None,
+    ) -> SceneData:
         """Compile to flat device arrays.
 
         Kinds with more than ``bvh_threshold`` active prims get a
@@ -515,9 +520,18 @@ class SceneBuilder:
             m = cluster_size
             npar = NPARAM_T[k]
             has_xf = bool(not identity_xf[starts[0] : starts[-1] + counts[-1]].all())
-            # 8-ary packet tree (Pallas forward fast path) for untransformed
-            # kinds; transformed trees fall back to the cluster walk
-            if has_xf:
+            # 8-ary packet tree (Pallas forward fast path).  Measured on
+            # v5e: per-packet walks win ~5x on sparse meshes where most
+            # packets exit at the root (wwscene's 13k-triangle shuttle,
+            # 12.4 -> ~2.5 ms/bounce at 131k lanes) but LOSE ~4x on
+            # dense-occupancy trees where every packet is live and rays
+            # diverge (final_scene's ground-box rects: 29 vs 6.8 ms) — the
+            # lockstep cluster walk amortizes there.  Policy from those
+            # measurements: packet trees for TRIANGLE kinds (meshes are the
+            # sparse case), cluster walk for everything else and for
+            # transformed trees.
+            packet_kinds = (TRIANGLE,) if bvh8_kinds is None else bvh8_kinds
+            if has_xf or k not in packet_kinds:
                 bvh8_trees.append(None)
             else:
                 lo8 = int(starts[0])

@@ -48,7 +48,9 @@ def _book_camera(lookfrom, lookat, vfov, aperture=0.0, focus=10.0, aspect=16 / 9
     )
 
 
-def random_scene(seed: int = 0, bvh_threshold: int = 100) -> SceneBundle:
+def random_scene(seed: int = 0, bvh_threshold: int = 4096) -> SceneBundle:
+    # threshold keeps the 530-prim field DENSE: one fused brute-force pass
+    # measures 1.28 Mpaths/s vs 0.8 with per-kind trees (v5e, r3 probes)
     """Book1 final scene + motion blur (scene.rs:22-84)."""
     b = SceneBuilder(seed=seed)
     rng = b.rng

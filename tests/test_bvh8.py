@@ -43,8 +43,9 @@ def _build_scene(kind, rng, n_prims=100):
         elif kind == RING:
             r = rng.uniform(2, 25)
             b.ring(r, rng.uniform(0.05, 0.5), mat)
-    # low threshold so the single kind always gets a tree
-    return b.finalize(bvh_threshold=16, cluster_size=32)
+    # low threshold so the single kind always gets a tree; override the
+    # production triangle-only packet-tree policy to test every kind
+    return b.finalize(bvh_threshold=16, cluster_size=32, bvh8_kinds=(kind,))
 
 
 @pytest.mark.parametrize("kind", [SPHERE, MSPHERE, RECT, TRIANGLE, RING])

@@ -148,8 +148,14 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
         if cfg.spp_per_batch == 0:
             batch = max(1, min(batch, cfg.spp // 8))
         spp_seq = -(-cfg.spp // batch)
-        # progress cadence: split the sequential quota over >= ~8 launches
-        chunk = spp_seq if progress is None else max(1, spp_seq // 8)
+        # Bound the work of ONE device launch: the axon tunnel kills
+        # executions running longer than ~60 s ("TPU worker crashed"), and
+        # sub-launches cost only ~40 ms dispatch each.  8 sequential
+        # samples per launch keeps every library scene (incl. final_scene's
+        # 50-bounce volume paths) comfortably under the watchdog.
+        chunk = min(spp_seq, 8)
+        if progress is not None:
+            chunk = max(1, min(chunk, spp_seq // 8 or 1))
         n_launches = -(-spp_seq // chunk)
         total = jnp.zeros((3, cfg.height, cfg.width))
         for i in range(n_launches):

@@ -151,9 +151,12 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
         # Bound the work of ONE device launch: the axon tunnel kills
         # executions running longer than ~60 s ("TPU worker crashed"), and
         # sub-launches cost only ~40 ms dispatch each.  8 sequential
-        # samples per launch keeps every library scene (incl. final_scene's
-        # 50-bounce volume paths) comfortably under the watchdog.
-        chunk = min(spp_seq, 8)
+        # samples per launch keeps every library scene under the watchdog;
+        # RT2022_MAX_SPP_SEQ lowers it further for very slow scene/size
+        # combinations (final_scene's 50-bounce volume paths at large N).
+        import os as _os
+
+        chunk = min(spp_seq, int(_os.environ.get("RT2022_MAX_SPP_SEQ", "8")))
         if progress is not None:
             chunk = max(1, min(chunk, spp_seq // 8 or 1))
         n_launches = -(-spp_seq // chunk)

@@ -22,7 +22,7 @@ def main(argv=None) -> int:
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--depth", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=0.25)
+    ap.add_argument("--lr", type=float, default=0.06)
     ap.add_argument("--out", default="")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -42,7 +42,6 @@ def main(argv=None) -> int:
     import numpy as np
 
     from raytracer2022_tpu import RenderConfig, make_camera
-    from raytracer2022_tpu.parallel.mesh import fit_step_fn
     from raytracer2022_tpu.scene.library import cornell_box
 
     bundle = cornell_box()
@@ -78,15 +77,38 @@ def main(argv=None) -> int:
     c0[:, light_tex] *= 0.5
     for t in lamb_texs:
         c0[:, t] = np.clip(c0[:, t] * 1.6 + 0.08, 0.02, 0.95)
-    scene_fit = scene.replace(textures=scene.textures.replace(color=jnp.asarray(c0)))
 
-    step = fit_step_fn(cfg, lr=args.lr)
+    # Adam on the texture color table: emission (O(60)) and albedos (O(0.7))
+    # differ by two orders of magnitude, which plain SGD cannot step jointly
+    import optax
+
+    from raytracer2022_tpu.render.renderer import render_batch as _rb
+
+    tcfg = cfg.trace_cfg()
+
+    def loss_fn(color, k):
+        s = scene.replace(textures=scene.textures.replace(color=color))
+        img = _rb(s, cam, k, args.size, args.size, args.spp, tcfg) / args.spp
+        return jnp.mean((img - target) ** 2)
+
+    # log-space parameterization: a x2 emission error and a x1.6 albedo
+    # error become comparable ~0.5-0.7 steps, so one Adam lr fits both
+    opt = optax.adam(args.lr)
+    params = jnp.log(jnp.asarray(c0) + 1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        loss, g = jax.value_and_grad(lambda p, k: loss_fn(jnp.exp(p), k))(params, k)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
     losses = []
     for i in range(args.steps):
-        scene_fit, cam, loss = step(scene_fit, cam, target, jax.random.fold_in(key, i))
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
         losses.append(float(loss))
 
-    cf = np.asarray(scene_fit.textures.color)
+    cf = np.asarray(jnp.exp(params))
     track = [light_tex] + lamb_texs
 
     def err(c):

@@ -36,7 +36,10 @@ class RenderConfig:
     t_min: float = 1e-3
     spawn_eps: float = 1e-4
     spp_per_batch: int = 0  # 0 = auto (bound rays/launch); -1 = single launch
-    max_rays_per_batch: int = 1 << 19  # auto-batching target (lanes per launch)
+    # auto-batching target (lanes per launch): 256k lanes keeps every
+    # library scene's launch inside the axon tunnel's execution limits
+    # (perlin-textured scenes crashed the worker at 512k-lane launches)
+    max_rays_per_batch: int = 1 << 18
     regen: bool = True  # path-regeneration integrator for forward renders
 
     def trace_cfg(self) -> TraceConfig:

@@ -42,7 +42,12 @@ except Exception:
 
 from raytracer2022_tpu import RenderConfig, make_camera
 from raytracer2022_tpu.parallel.mesh import fit_step_fn
-from raytracer2022_tpu.render.renderer import render_batch, render_batch_regen
+from raytracer2022_tpu.render.renderer import (
+    regen_iters_estimate,
+    render_batch,
+    render_batch_regen,
+    render_batch_regen_diff,
+)
 from raytracer2022_tpu.scene.library import SCENES
 
 REF_CPU_PATHS_PER_S = 1e6  # generous estimate (no published numbers)
@@ -89,20 +94,27 @@ def main():
     out["book2_Mpaths_s"] = round(forward_mpaths("final_scene", 128, 128, 8, 8, key)[0], 2)
     out["obj_Mpaths_s"] = round(forward_mpaths("wwscene", 128, 128, 8, 8, key)[0], 2)
 
-    # --- fwd+bwd: differentiable scan integrator on cornell, 64 spp
+    # --- fwd+bwd (headline secondary): differentiable REGEN integrator on
+    # cornell, 64 spp — the production differentiable path (material +
+    # texture gradients through the full bounce loop at regen occupancy)
     W = H = 256
     SPP = 64
+    SPP_PAR, SPP_SEQ = 2, 32
     cfg = RenderConfig(width=W, height=H, spp=SPP, max_depth=50, background=cornell.background)
     tcfg = cfg.trace_cfg()
     scene = cornell.scene
     cam = make_camera(**cornell.camera_kwargs)
+    n_iters = regen_iters_estimate(scene, cam, W, H, SPP_PAR, SPP_SEQ, tcfg)
 
     def loss_fn(mat_param, tex_color, k):
         s = scene.replace(
             materials=scene.materials.replace(param=mat_param),
             textures=scene.textures.replace(color=tex_color),
         )
-        return jnp.mean(render_batch(s, cam, k, W, H, SPP, tcfg))
+        img, cnt = render_batch_regen_diff(
+            s, cam, k, W, H, SPP_PAR, SPP_SEQ, n_iters, tcfg
+        )
+        return jnp.mean(img / jnp.maximum(cnt, 1)[None])
 
     fwd_bwd = jax.jit(
         lambda k: jax.value_and_grad(loss_fn, argnums=(0, 1))(
@@ -111,6 +123,23 @@ def main():
     )
     t_fb = _median_time(fwd_bwd, key, reps=3)
     out["fwd_bwd_paths_per_s"] = round(W * H * SPP / t_fb, 1)
+    out["fwd_bwd_regen_iters"] = n_iters
+
+    # legacy comparison: the full-width scan integrator (round 1-3 metric)
+    def loss_scan(mat_param, tex_color, k):
+        s = scene.replace(
+            materials=scene.materials.replace(param=mat_param),
+            textures=scene.textures.replace(color=tex_color),
+        )
+        return jnp.mean(render_batch(s, cam, k, W, H, SPP, tcfg))
+
+    fwd_bwd_scan = jax.jit(
+        lambda k: jax.value_and_grad(loss_scan, argnums=(0, 1))(
+            scene.materials.param, scene.textures.color, k
+        )
+    )
+    t_fbs = _median_time(fwd_bwd_scan, key, reps=2)
+    out["fwd_bwd_scan_paths_per_s"] = round(W * H * SPP / t_fbs, 1)
 
     # --- config 5: one full fit step (render + MSE + backprop + SGD)
     fit_cfg = RenderConfig(width=64, height=64, spp=32, max_depth=8, background=cornell.background)

@@ -99,6 +99,10 @@ def _leaf_rows(kind: int, params: np.ndarray, pids: np.ndarray, prim_rows: np.nd
         rows[~valid, 3] = -FAR
     else:
         raise ValueError(f"bvh8 cannot hold kind {kind}")
+    # winner prim ids ride an f32 column through the kernel: exact only
+    # below 2^24 (ADVICE r3) — far above any library scene, but guard it
+    if valid.any() and int(gids[valid].max()) >= 1 << 24:
+        raise ValueError("bvh8: prim ids >= 2^24 would lose precision in f32")
     rows[:, NCOL - 1] = np.where(valid, gids, 0)
     return rows
 
@@ -296,7 +300,7 @@ def _make_kernel(kind: int, t_min: float):
 
     def kernel(en_ref, gb_ref, pr_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-               ti_ref, t_ref, b_ref, stack_ref):
+               ti_ref, t_ref, b_ref, stack_ref, mb_ref):
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (FANOUT, 1), 0)
 
         def packet(j, _):
@@ -343,10 +347,12 @@ def _make_kernel(kind: int, t_min: float):
                     bits_v = jnp.where(
                         jnp.any(tfar >= tnear, axis=1, keepdims=True), 1 << iota8, 0
                     )
-                    stack_ref[MAX_STACK - 1] = jnp.sum(bits_v)
+                    # group-hit-bits mailbox lives in its own scratch slot so
+                    # deep pushes can never clobber it (ADVICE r3)
+                    mb_ref[0] = jnp.sum(bits_v)
 
                 is_group = e >= 0
-                bits = jnp.where(is_group, stack_ref[MAX_STACK - 1], 0)
+                bits = jnp.where(is_group, mb_ref[0], 0)
                 eg = jnp.where(is_group, e, 0)
                 spx = sp
                 for jj in range(FANOUT):
@@ -370,8 +376,12 @@ def _make_kernel(kind: int, t_min: float):
                         kind, pb, ovx, ovy, ovz, dxv, dyv, dzv, tmv, t_min, t_best
                     )
                     tm8 = jnp.min(tj, axis=0, keepdims=True)  # (1, 128)
-                    sel = jnp.max(
-                        jnp.where(tj == tm8, pid, -1.0), axis=0, keepdims=True
+                    # exact-t ties pick the SMALLEST prim id, matching the
+                    # cluster/brute paths' argmin tie-break (ADVICE r3)
+                    sel = jnp.min(
+                        jnp.where(tj == tm8, pid, jnp.float32(1 << 24)),
+                        axis=0,
+                        keepdims=True,
                     )
                     # tm8 == FAR means every prim missed: never an update
                     # (t_best may exceed FAR when the caller passes +inf)
@@ -441,7 +451,10 @@ def traverse_bvh8(
             jax.ShapeDtypeStruct((npk, PACKET), jnp.float32),
             jax.ShapeDtypeStruct((npk, PACKET), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
         interpret=interpret,
     )(tree.entries, tree.boxes, tree.prows, *comp, ti)
     return t.reshape(-1)[:n], b.reshape(-1)[:n]

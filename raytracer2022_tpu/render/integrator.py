@@ -222,32 +222,63 @@ def trace(
     return radiance
 
 
+def _pool_reserve(want, remaining, spp_par: int):
+    """Reserve pooled samples for lanes that want work.
+
+    Lanes are pixel-contiguous (lane l belongs to pixel l // spp_par); each
+    pixel owns a pool counter ``remaining[HW]``.  A tiny per-pixel exclusive
+    cumsum ranks this iteration's requesters and grants the first
+    ``remaining`` of them — an O(N) branchless reservation with no scatter.
+    Returns ``(start bool[N], remaining')``.
+    """
+    wantm = want.reshape(-1, spp_par)
+    rank = jnp.cumsum(wantm, axis=1) - wantm  # exclusive rank within pixel
+    startm = wantm & (rank < remaining[:, None])
+    remaining = remaining - jnp.sum(startm, axis=1, dtype=remaining.dtype)
+    return startm.reshape(-1), remaining
+
+
 def trace_regen(
     scene: SceneData,
     gen_rays,  # (sample_key, pix i32[N]) -> (o (3,N), d (3,N), tm (N,))
     pix0: jnp.ndarray,  # i32[N] initial lane -> pixel assignment
-    spp_seq: int,  # samples each lane must complete
+    spp_seq: int,  # samples per lane (the pixel pool is spp_par * spp_seq)
     key,
     cfg: TraceConfig,
+    return_iters: bool = False,
+    spp_par: Optional[int] = None,  # lanes per pixel (enables pooling)
 ) -> jnp.ndarray:
-    """Path-regeneration wavefront -> per-lane radiance SUM over spp_seq,
-    returned re-grouped by pixel (ascending ``pix``; ties keep multiplicity).
+    """Path-regeneration wavefront -> per-lane radiance SUM, grouped by
+    pixel (lane l stays on pixel l // spp_par unless ``cfg.sort_rays``).
 
     TPU-native scheduling win over the fixed-depth scan: when a sample
     terminates (miss / absorbed / pdf-kill / depth cap) its lane immediately
-    starts the NEXT sample of the same pixel, so every iteration runs at
-    ~full lane occupancy.  Total iterations ~= spp_seq * E[path length]
-    instead of spp_seq * max_depth — typically 4-8x fewer vertex
-    evaluations.  The per-sample estimator is IDENTICAL to :func:`trace`
-    (same vertex math, same termination rules); only the schedule differs.
+    starts the next sample, so every iteration runs at ~full lane
+    occupancy.  Total iterations ~= spp_seq * E[path length] instead of
+    spp_seq * max_depth — typically 4-8x fewer vertex evaluations.  The
+    per-sample estimator is IDENTICAL to :func:`trace` (same vertex math,
+    same termination rules); only the schedule differs.
+
+    **Pooled scheduling** (``spp_par`` given, the production path): the
+    ``spp_par`` lanes of one pixel share a pool of ``spp_par * spp_seq``
+    samples instead of owning ``spp_seq`` each.  A lane that finishes a
+    sample reserves the pixel's next undone sample (:func:`_pool_reserve`);
+    with per-lane quotas the wall clock is the MAX over lanes of a sum of
+    random path lengths — one unlucky lane that keeps drawing deep specular
+    chains (wwscene's dielectric stars) runs hundreds of near-empty tail
+    iterations while 131k lanes idle.  Pooling shares that variance across
+    the pixel's lanes; every started sample still runs to completion, so
+    the estimator is unchanged.
 
     When ``cfg.sort_rays`` and the scene has an acceleration structure, the
     wavefront is re-sorted by a coarse origin/direction key every bounce
-    (ops/sort.py) so the block-shared cluster traversal stays coherent; each
-    lane carries its pixel id so the final sort restores pixel grouping.
+    (ops/sort.py) so the block-shared cluster traversal stays coherent; lane
+    migration breaks pixel-contiguity, so the sort path keeps per-lane
+    quotas and carries pixel ids for the final regrouping sort.
 
-    ``lax.while_loop`` exits when every lane has finished its quota; this is
-    forward-only (not reverse-differentiable) — the fit path uses ``trace``.
+    ``lax.while_loop`` exits when the pools are drained and every in-flight
+    path has terminated; this is forward-only (not reverse-differentiable)
+    — the fit path uses :func:`trace_regen_diff` or :func:`trace`.
     """
     from ..ops.sort import ray_sort_key, sort_by_key
 
@@ -256,15 +287,26 @@ def trace_regen(
     zeros3 = jnp.zeros((3, n))
     max_iter = spp_seq * cfg.max_depth + 1  # hard safety bound
     do_sort = cfg.sort_rays and scene.use_bvh and n >= 2048
+    pooled = spp_par is not None and not do_sort
     wb = scene.stats.world_bounds
 
     def cond(state):
-        it, _, _, _, _, _, done, _, _ = state
-        return (it < max_iter) & jnp.any(done < spp_seq)
+        it, _, _, _, _, _, work, _, _ = state
+        if pooled:
+            alive, remaining = work
+            go = jnp.any(alive) | jnp.any(remaining > 0)
+        else:
+            go = jnp.any(work < spp_seq)
+        return (it < max_iter) & go
 
     def body(state):
-        it, o, d, tm, throughput, radiance, done, depth, pix = state
-        working = done < spp_seq
+        it, o, d, tm, throughput, radiance, work, depth, pix = state
+        if pooled:
+            alive, remaining = work
+            working = alive
+        else:
+            done = work
+            working = done < spp_seq
         step_key = jax.random.fold_in(key, it + 1)
         k_vertex, k_regen = jax.random.split(step_key)
 
@@ -276,18 +318,25 @@ def trace_regen(
         depth = depth + 1
         cont = vx.cont & (depth < cfg.max_depth)  # depth cap = black tail
         finished = working & ~cont  # this sample just completed
-        done = done + finished.astype(done.dtype)
 
-        # regenerate finished lanes that still have samples left
+        if pooled:
+            start, remaining = _pool_reserve(finished | ~alive, remaining, spp_par)
+            work = (cont | start, remaining)
+        else:
+            done = done + finished.astype(done.dtype)
+            start = finished
+            work = done
+
+        # (re)generate lanes granted a new sample
         o_new, d_new, tm_new = gen_rays(k_regen, pix)
-        regen = finished[None]
+        regen = start[None]
         o = jnp.where(regen, o_new, jnp.where(cont[None], vx.o, o))
         d = jnp.where(regen, d_new, jnp.where(cont[None], vx.d, d))
-        tm = jnp.where(finished, tm_new, jnp.where(cont, vx.tm, tm))
+        tm = jnp.where(start, tm_new, jnp.where(cont, vx.tm, tm))
         throughput = jnp.where(
             regen, 1.0, jnp.where(cont[None], vx.throughput, throughput)
         )
-        depth = jnp.where(finished, 0, depth)
+        depth = jnp.where(start, 0, depth)
 
         if do_sort:
             # re-pack neighboring lanes into coherent ray blocks; all
@@ -302,16 +351,25 @@ def trace_regen(
                     o[0], o[1], o[2], d[0], d[1], d[2], tm,
                     throughput[0], throughput[1], throughput[2],
                     radiance[0], radiance[1], radiance[2],
-                    done, depth, pix,
+                    work, depth, pix,
                 ),
             )
             o = jnp.stack([o0_, o1_, o2_])
             d = jnp.stack([d0_, d1_, d2_])
             throughput = jnp.stack([th0, th1, th2])
             radiance = jnp.stack([r0, r1, r2])
-            done = donef
-        return (it + 1, o, d, tm, throughput, radiance, done, depth, pix)
+            work = donef
+        return (it + 1, o, d, tm, throughput, radiance, work, depth, pix)
 
+    if pooled:
+        n_pix = n // spp_par
+        # every lane starts in flight; the pool holds the rest
+        work0 = (
+            jnp.ones((n,), dtype=bool),
+            jnp.full((n_pix,), spp_par * (spp_seq - 1), dtype=jnp.int32),
+        )
+    else:
+        work0 = jnp.zeros((n,), dtype=jnp.int32)
     state = (
         jnp.int32(0),
         o0,
@@ -319,7 +377,7 @@ def trace_regen(
         tm0,
         jnp.ones((3, n)),
         zeros3,
-        jnp.zeros((n,), dtype=jnp.int32),
+        work0,
         jnp.zeros((n,), dtype=jnp.int32),
         pix0,
     )
@@ -329,4 +387,117 @@ def trace_regen(
         # restore pixel grouping (lanes of one pixel become adjacent again)
         r0, r1, r2 = sort_by_key(pix, (radiance[0], radiance[1], radiance[2]))
         radiance = jnp.stack([r0, r1, r2])
+    if return_iters:
+        return radiance, state[0]
     return radiance
+
+
+def trace_regen_diff(
+    scene: SceneData,
+    gen_rays,  # (sample_key, pix i32[N]) -> (o (3,N), d (3,N), tm (N,))
+    pix0: jnp.ndarray,  # i32[N] lane -> pixel assignment (fixed; no sorting)
+    spp_seq: int,  # samples each lane must complete
+    n_iters: int,  # STATIC iteration count (see below)
+    key,
+    cfg: TraceConfig,
+    use_pallas: bool = False,
+    spp_par: Optional[int] = None,  # lanes per pixel (enables pooled sched)
+):
+    """Differentiable path regeneration -> ``(radiance (3, N), done i32[N])``.
+
+    The round-3 fwd+bwd bottleneck was not the VJP (a normal ~3.5x bwd/fwd)
+    but the :func:`trace` forward itself: every one of ``max_depth`` scan
+    steps runs the FULL wavefront although after a few bounces almost every
+    lane is dead (mean path length on Cornell is ~2.5 of 50).  This
+    integrator runs the SAME regeneration schedule as :func:`trace_regen` —
+    a terminated lane immediately starts its pixel's next sample, so every
+    iteration is ~fully occupied — but over a **fixed-length** ``lax.scan``
+    instead of a ``lax.while_loop``, which makes the whole loop
+    reverse-differentiable (``jax.checkpoint`` per iteration keeps backward
+    memory at one-bounce residuals plus the scan carries).
+
+    Sample accounting differs from :func:`trace_regen` in one way needed
+    for a fixed trip count: per-lane radiance of the sample **in flight**
+    accumulates separately (``sample_rad``) and is folded into ``radiance``
+    only when the sample terminates, and ``done`` counts terminated
+    samples.  A lane mid-path at iteration ``n_iters`` contributes nothing
+    for that final partial sample; normalizing by ``done`` keeps the
+    estimator consistent.  With ``n_iters >= spp_seq * cfg.max_depth`` every
+    sample provably completes and the estimator is EXACTLY the
+    :func:`trace` / :func:`trace_regen` estimator; smaller ``n_iters``
+    trades a tiny truncation tail (choose via :func:`regen_iters_estimate`)
+    for proportional fwd+bwd throughput.
+
+    Discrete decisions (hit winner, branch choice, light pick, termination,
+    and the regeneration schedule itself) are piecewise-constant in the
+    parameters, so reverse-mode yields the same reparameterized path-replay
+    gradients as :func:`trace` (reference semantics: main.rs:233-278).
+    """
+    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix0)
+    n = tm0.shape[0]
+    zeros3 = jnp.zeros((3, n))
+    pooled = spp_par is not None
+
+    def body(carry, it):
+        o, d, tm, throughput, sample_rad, radiance, done, depth, work = carry
+        if pooled:
+            alive, remaining = work
+            working = alive
+        else:
+            working = done < spp_seq
+        step_key = jax.random.fold_in(key, it + 1)
+        k_vertex, k_regen = jax.random.split(step_key)
+
+        vx = _eval_vertex(
+            scene, cfg, o, d, tm, throughput, working, k_vertex, use_pallas=use_pallas
+        )
+        sample_rad = sample_rad + vx.radiance_add  # masked by `working`
+
+        depth = depth + 1
+        cont = vx.cont & (depth < cfg.max_depth)  # depth cap = black tail
+        finished = working & ~cont  # this sample just completed
+        radiance = radiance + jnp.where(finished[None], sample_rad, 0.0)
+        sample_rad = jnp.where(finished[None], 0.0, sample_rad)
+        done = done + finished.astype(done.dtype)
+
+        if pooled:
+            start, remaining = _pool_reserve(finished | ~alive, remaining, spp_par)
+            work = (cont | start, remaining)
+        else:
+            start = finished  # quota mode: lanes regenerate unconditionally
+
+        # (re)generate lanes granted a new sample
+        o_new, d_new, tm_new = gen_rays(k_regen, pix0)
+        regen = start[None]
+        o = jnp.where(regen, o_new, jnp.where(cont[None], vx.o, o))
+        d = jnp.where(regen, d_new, jnp.where(cont[None], vx.d, d))
+        tm = jnp.where(start, tm_new, jnp.where(cont, vx.tm, tm))
+        throughput = jnp.where(
+            regen, 1.0, jnp.where(cont[None], vx.throughput, throughput)
+        )
+        depth = jnp.where(start, 0, depth)
+        return (o, d, tm, throughput, sample_rad, radiance, done, depth, work), None
+
+    if pooled:
+        work0 = (
+            jnp.ones((n,), dtype=bool),
+            jnp.full((n // spp_par,), spp_par * (spp_seq - 1), dtype=jnp.int32),
+        )
+    else:
+        work0 = jnp.zeros((0,), dtype=jnp.int32)  # unused placeholder
+    carry = (
+        o0,
+        d0,
+        tm0,
+        jnp.ones((3, n)),
+        zeros3,
+        zeros3,
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.zeros((n,), dtype=jnp.int32),
+        work0,
+    )
+    carry, _ = jax.lax.scan(
+        jax.checkpoint(body), carry, jnp.arange(n_iters, dtype=jnp.int32)
+    )
+    radiance, done = carry[5], carry[6]
+    return radiance, done

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..scene.types import SceneData
 from .camera import Camera, get_rays
 from .film import tonemap_u8
-from .integrator import TraceConfig, trace, trace_regen
+from .integrator import TraceConfig, trace, trace_regen, trace_regen_diff
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +96,15 @@ def render_batch_regen(
     # lane's CURRENT pixel id
     pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
     k_trace = jax.random.fold_in(key, 0x5EED)
+    gen_rays = _regen_gen_rays(camera, width, height, n)
+    radiance = trace_regen(
+        scene, gen_rays, pix0, spp_seq, k_trace, cfg, spp_par=spp_par
+    )  # (3, N)
+    return jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
+
+
+def _regen_gen_rays(camera: Camera, width: int, height: int, n: int):
+    """Lane-current-pixel ray generator shared by the regen integrators."""
 
     def gen_rays(sample_key, pix):
         k_u, k_v, k_cam = jax.random.split(sample_key, 3)
@@ -105,8 +114,74 @@ def render_batch_regen(
         v = (ys + jax.random.uniform(k_v, (n,))) / (height - 1)
         return get_rays(camera, u, v, k_cam)
 
-    radiance = trace_regen(scene, gen_rays, pix0, spp_seq, k_trace, cfg)  # (3, N)
-    return jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
+    return gen_rays
+
+
+def render_batch_regen_diff(
+    scene: SceneData,
+    camera: Camera,
+    key,
+    width: int,
+    height: int,
+    spp_par: int,  # lanes per pixel
+    spp_seq: int,  # samples each lane completes sequentially
+    n_iters: int,  # static regen-scan trip count (see trace_regen_diff)
+    cfg: TraceConfig,
+):
+    """Differentiable regen render -> ``((3, H, W) radiance sum over
+    COMPLETED samples, (H, W) i32 completed-sample counts)``.
+
+    The per-pixel mean image is ``sum / counts`` (counts ==
+    ``spp_par * spp_seq`` everywhere when ``n_iters >= spp_seq * max_depth``
+    or when the truncation tail is negligible).  Fully reverse-
+    differentiable w.r.t. scene tables and camera; counts are integer
+    (no tangent) so normalization needs no stop_gradient.
+    """
+    n = height * width * spp_par
+    pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
+    k_trace = jax.random.fold_in(key, 0x5EED)
+    gen_rays = _regen_gen_rays(camera, width, height, n)
+    radiance, done = trace_regen_diff(
+        scene, gen_rays, pix0, spp_seq, n_iters, k_trace, cfg, spp_par=spp_par
+    )
+    img = jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
+    counts = jnp.sum(done.reshape(height, width, spp_par), axis=2)
+    return img, counts
+
+
+def regen_iters_estimate(
+    scene: SceneData,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp_par: int,
+    spp_seq: int,
+    cfg: TraceConfig,
+    key=None,
+    margin: float = 1.3,
+    slack: int = 8,
+) -> int:
+    """Measure the regen iteration count one forward run actually needed and
+    return ``ceil(measured * margin) + slack`` (clamped to the exact bound
+    ``spp_seq * max_depth + 1``).  One cheap forward launch; use the result
+    as the static ``n_iters`` of :func:`render_batch_regen_diff` so the
+    differentiable scan pays only the iterations the workload needs."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    n = height * width * spp_par
+    pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
+    gen_rays = _regen_gen_rays(camera, width, height, n)
+    _, iters = trace_regen(
+        scene,
+        gen_rays,
+        pix0,
+        spp_seq,
+        jax.random.fold_in(key, 0x5EED),
+        cfg,
+        return_iters=True,
+        spp_par=spp_par,
+    )
+    bound = spp_seq * cfg.max_depth + 1
+    return min(int(int(iters) * margin) + slack, bound)
 
 
 _render_batch_jit = jax.jit(

@@ -127,6 +127,66 @@ def test_render_sum_batching_invariance():
     assert np.abs(a - bsum).mean() < 0.15
 
 
+def test_regen_diff_matches_scan_statistically():
+    """trace_regen_diff (fixed-trip differentiable regeneration) computes
+    the same estimator as trace: with n_iters at the exact bound every
+    sample completes and the image means agree within MC error."""
+    from raytracer2022_tpu.render.renderer import render_batch_regen_diff
+
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0, b.lambertian((0.6, 0.5, 0.4)))
+    b.sphere((0, 1, 0), 0.7, b.metal((0.8, 0.8, 0.8), 0.1))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -6), (0, 1, 0), (0, 1, 0), 45, 1.0)
+    cfg = TraceConfig(max_depth=16, background=(0.0, 0.0, 0.0))
+
+    spp = 64
+    a = np.asarray(render_batch(scene, cam, KEY, 24, 24, spp, cfg)) / spp
+    img, cnt = render_batch_regen_diff(
+        scene, cam, KEY, 24, 24, 8, spp // 8, 8 * 16 + 1, cfg
+    )
+    cnt = np.asarray(cnt)
+    # exact trip bound: the whole pixel pool provably completes
+    np.testing.assert_array_equal(cnt, spp)
+    r = np.asarray(img) / spp
+    np.testing.assert_allclose(a.mean(), r.mean(), rtol=0.05)
+    np.testing.assert_allclose(a.mean(axis=(1, 2)), r.mean(axis=(1, 2)), rtol=0.08)
+
+
+def test_regen_diff_truncated_iters_normalizes():
+    """With n_iters below the bound, unfinished samples are discarded and
+    ``done`` counts completed ones; sum/count stays a consistent
+    estimator."""
+    from raytracer2022_tpu.render.renderer import (
+        regen_iters_estimate,
+        render_batch_regen_diff,
+    )
+
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0, b.lambertian((0.6, 0.5, 0.4)))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -6), (0, 1, 0), (0, 1, 0), 45, 1.0)
+    cfg = TraceConfig(max_depth=16, background=(0.0, 0.0, 0.0))
+
+    n_iters = regen_iters_estimate(scene, cam, 16, 16, 4, 8, cfg)
+    assert n_iters < 8 * 16 + 1  # the estimate actually saves iterations
+    img, cnt = render_batch_regen_diff(scene, cam, KEY, 16, 16, 4, 8, n_iters, cfg)
+    cnt = np.asarray(cnt)
+    assert cnt.min() > 0
+    # margin+slack should complete (nearly) everything on this short-path scene
+    assert cnt.sum() >= 0.99 * 16 * 16 * 32
+    spp = 64
+    a = np.asarray(render_batch(scene, cam, KEY, 16, 16, spp, cfg)) / spp
+    r = np.asarray(img) / np.maximum(cnt, 1)[None]
+    np.testing.assert_allclose(a.mean(), r.mean(), rtol=0.07)
+
+
 def test_regen_matches_scan_statistically():
     """trace_regen computes the same estimator as trace: on a scene where
     every path terminates within the depth cap, the image means must agree

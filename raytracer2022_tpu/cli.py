@@ -87,19 +87,26 @@ def main(argv=None) -> int:
     log.stage(2, f"{n_dev} device(s)")
     t0 = time.perf_counter()
     with xla_trace(args.trace_dir):
+        n_samples = cfg.spp
         if args.sharded and n_dev > 1:
-            from raytracer2022_tpu.parallel.mesh import make_device_mesh, render_sharded_sum
+            from raytracer2022_tpu.parallel.mesh import (
+                make_device_mesh,
+                render_sharded_regen_sum,
+            )
 
             mesh = make_device_mesh()
-            total = render_sharded_sum(bundle.scene, camera, cfg, mesh)
+            # production multi-chip path: pooled-regen integrator per chip
+            total, n_samples = render_sharded_regen_sum(
+                bundle.scene, camera, cfg, mesh
+            )
         else:
             total = render_sum(bundle.scene, camera, cfg, progress=log.progress)
         total.block_until_ready()
     dt = time.perf_counter() - t0
 
-    log.stage(3, f"{args.width * args.height * args.spp / dt / 1e6:.2f} Mpaths/s")
+    log.stage(3, f"{args.width * args.height * n_samples / dt / 1e6:.2f} Mpaths/s")
     log.stage(4)
-    img = tonemap_u8(total, cfg.spp)
+    img = tonemap_u8(total, n_samples)
 
     log.stage(5)
     if jax.process_index() == 0:  # one writer under multi-host

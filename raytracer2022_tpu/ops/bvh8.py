@@ -39,7 +39,14 @@ LEAF = 8
 FANOUT = 8
 MAX_STACK = 160
 SENT = 0x7FFFFFFF  # empty-child tag, never pushed
-NCOL = 16  # leaf-row param columns (pid in col NCOL-1)
+# Leaf-row columns: 0-15 the primitive's full global param row (so the
+# winner row carries everything hit_details needs, incl. triangle uvs),
+# then COL_PID / COL_MAT / COL_FLIP / COL_KIND; padded to 24 for tiling.
+NCOL = 24
+COL_PID = 16
+COL_MAT = 17
+COL_FLIP = 18
+COL_KIND = 19
 PACKET = 128
 PACKETS_PER_PROGRAM = 8
 FAR = 1e30
@@ -60,12 +67,22 @@ class Bvh8Tree:
 # --------------------------------------------------------------------------
 
 
-def _leaf_rows(kind: int, params: np.ndarray, pids: np.ndarray, prim_rows: np.ndarray):
-    """Pack per-kind leaf rows -> f32[Lb*LEAF, NCOL].
+def _leaf_rows(
+    kind: int,
+    params: np.ndarray,
+    mat_id: np.ndarray,
+    flip: np.ndarray,
+    pids: np.ndarray,
+    prim_rows: np.ndarray,
+):
+    """Pack leaf rows -> f32[Lb*LEAF, NCOL].
 
     ``params`` is the global (NPARAM, P) table, ``pids`` the global prim ids
     of the tree's prims (tree-local index -> global id), ``prim_rows`` the
-    (Lb, LEAF) tree-local prim index blocks (-1 padded).
+    (Lb, LEAF) tree-local prim index blocks (-1 padded).  Cols 0-15 carry
+    the primitive's full global param row verbatim (the winner-row output
+    hands them straight to hit_details, incl. triangle uvs); padded slots
+    get per-kind guaranteed-miss values on the columns the leaf test reads.
     """
     lb = prim_rows.shape[0]
     rows = np.zeros((lb * LEAF, NCOL), np.float32)
@@ -74,27 +91,17 @@ def _leaf_rows(kind: int, params: np.ndarray, pids: np.ndarray, prim_rows: np.nd
     safe = np.where(valid, flat, 0)
     gids = pids[safe]  # global prim ids per slot
     p = params[:, gids].T  # (rows, NPARAM)
+    rows[:, : p.shape[1]] = p
 
     if kind in (SPHERE, MSPHERE):
-        # 0-2 c0, 3 r, 4-6 c1, 7 t0, 8 t1 — sphere rows keep c1=c0, t0=0, t1=1
-        rows[:, 0:4] = p[:, 0:4]
-        if kind == MSPHERE:
-            rows[:, 4:9] = p[:, 4:9]
-        else:
-            rows[:, 4:7] = p[:, 0:3]
-            rows[:, 7] = 0.0
-            rows[:, 8] = 1.0
         rows[~valid, 0:3] = FAR  # padded slots never hit
         rows[~valid, 3] = 0.0
     elif kind == RECT:
-        rows[:, 0:6] = p[:, 0:6]
         rows[~valid, 0] = FAR  # a0 > a1: bounds test always fails
         rows[~valid, 1] = -FAR
     elif kind == TRIANGLE:
-        rows[:, 0:9] = p[:, 0:9]
         rows[~valid, 0:9] = 0.0  # degenerate: nlen == 0 rejects
     elif kind == RING:
-        rows[:, 0:4] = p[:, 0:4]
         rows[~valid, 2] = FAR  # dmin2 > dmax2: band test always fails
         rows[~valid, 3] = -FAR
     else:
@@ -103,13 +110,18 @@ def _leaf_rows(kind: int, params: np.ndarray, pids: np.ndarray, prim_rows: np.nd
     # below 2^24 (ADVICE r3) — far above any library scene, but guard it
     if valid.any() and int(gids[valid].max()) >= 1 << 24:
         raise ValueError("bvh8: prim ids >= 2^24 would lose precision in f32")
-    rows[:, NCOL - 1] = np.where(valid, gids, 0)
+    rows[:, COL_PID] = np.where(valid, gids, 0)
+    rows[:, COL_MAT] = np.where(valid, mat_id[gids], 0)
+    rows[:, COL_FLIP] = np.where(valid, flip[gids].astype(np.float32), 0.0)
+    rows[:, COL_KIND] = float(kind)
     return rows
 
 
 def build_bvh8(
     kind: int,
     params: np.ndarray,  # (NPARAM, P) global param table (post-perm)
+    mat_id: np.ndarray,  # (P,) global material ids (post-perm)
+    flip: np.ndarray,  # (P,) global FlipFace bits (post-perm)
     pids: np.ndarray,  # global prim ids in this tree
     bmin: np.ndarray,  # (T, 3) per-prim bounds (tree-local order = pids order)
     bmax: np.ndarray,
@@ -171,7 +183,7 @@ def build_bvh8(
     finally:
         sys.setrecursionlimit(old)
 
-    rows = _leaf_rows(kind, params, pids, np.stack(prim_rows))
+    rows = _leaf_rows(kind, params, mat_id, flip, pids, np.stack(prim_rows))
     return Bvh8Tree(
         entries=jnp.asarray(np.concatenate(child_entry).astype(np.int32)),
         boxes=jnp.asarray(np.concatenate(groups_box, axis=0)),
@@ -300,7 +312,7 @@ def _make_kernel(kind: int, t_min: float):
 
     def kernel(en_ref, gb_ref, pr_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-               ti_ref, t_ref, b_ref, stack_ref, mb_ref):
+               ti_ref, t_ref, b_ref, r_ref, stack_ref, mb_ref):
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (FANOUT, 1), 0)
 
         def packet(j, _):
@@ -316,6 +328,7 @@ def _make_kernel(kind: int, t_min: float):
             idz = 1.0 / dzv
             t_ref[pl.ds(j, 1), :] = ti_ref[pl.ds(j, 1), :]
             b_ref[pl.ds(j, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
+            r_ref[pl.ds(j, 1), :, :] = jnp.zeros((1, NCOL, PACKET), jnp.float32)
             stack_ref[0] = 0
 
             def cond(c):
@@ -370,7 +383,7 @@ def _make_kernel(kind: int, t_min: float):
                 def _():
                     ptr = -e - 1
                     pb = pr_ref[pl.ds(ptr, LEAF), :]
-                    pid = pb[:, NCOL - 1 : NCOL]
+                    pid = pb[:, COL_PID : COL_PID + 1]
                     t_best = t_ref[pl.ds(j, 1), :]
                     tj = _leaf_test(
                         kind, pb, ovx, ovy, ovz, dxv, dyv, dzv, tmv, t_min, t_best
@@ -390,6 +403,17 @@ def _make_kernel(kind: int, t_min: float):
                     b_ref[pl.ds(j, 1), :] = jnp.where(
                         upd, sel, b_ref[pl.ds(j, 1), :].astype(jnp.float32)
                     ).astype(jnp.int32)
+                    # winner-row extraction: per updated lane, copy the
+                    # winning slot's full leaf row (exact f32 select — a
+                    # bf16 MXU dot would round the geometry params)
+                    winmask = (tj == tm8) & (pid == sel)  # (8, 128)
+                    rows_new = jnp.sum(
+                        jnp.where(winmask[:, None, :], pb[:, :, None], 0.0),
+                        axis=0,
+                    )  # (NCOL, 128)
+                    r_ref[pl.ds(j, 1), :, :] = jnp.where(
+                        upd[:, None, :], rows_new[None], r_ref[pl.ds(j, 1), :, :]
+                    )
 
                 return spx
 
@@ -410,9 +434,13 @@ def traverse_bvh8(
     t_min: float,
     t_init: Optional[jnp.ndarray] = None,  # (N,) running closest hit (prunes)
     interpret: bool = False,  # Pallas interpreter (CPU tests)
+    return_rows: bool = False,  # also return winner leaf rows f32[NCOL, N]
 ):
-    """Packet traversal -> (t f32[N], best i32[N]); best -1 where no hit
-    beat ``t_init``.  ``t_min`` is static (the tracer's 0.001)."""
+    """Packet traversal -> (t f32[N], best i32[N][, rows f32[NCOL, N]]);
+    best -1 where no hit beat ``t_init``.  ``t_min`` is static (the
+    tracer's 0.001).  ``rows`` carries the winning primitive's full leaf
+    row (params + pid/mat/flip/kind) so hit_details needs NO per-ray
+    gather over the primitive table (zeros where best < 0)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -436,8 +464,13 @@ def traverse_bvh8(
     rspec = pl.BlockSpec(
         (PACKETS_PER_PROGRAM, PACKET), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    rowspec = pl.BlockSpec(
+        (PACKETS_PER_PROGRAM, NCOL, PACKET),
+        lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid = (npk // PACKETS_PER_PROGRAM,)
-    t, b = pl.pallas_call(
+    t, b, rows = pl.pallas_call(
         _make_kernel(kind, t_min),
         grid=grid,
         in_specs=[
@@ -446,10 +479,11 @@ def traverse_bvh8(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         + [rspec] * 8,
-        out_specs=(rspec, rspec),
+        out_specs=(rspec, rspec, rowspec),
         out_shape=(
             jax.ShapeDtypeStruct((npk, PACKET), jnp.float32),
             jax.ShapeDtypeStruct((npk, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((npk, NCOL, PACKET), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
@@ -457,4 +491,8 @@ def traverse_bvh8(
         ],
         interpret=interpret,
     )(tree.entries, tree.boxes, tree.prows, *comp, ti)
-    return t.reshape(-1)[:n], b.reshape(-1)[:n]
+    t = t.reshape(-1)[:n]
+    b = b.reshape(-1)[:n]
+    if return_rows:
+        return t, b, jnp.moveaxis(rows, 1, 0).reshape(NCOL, -1)[:, :n]
+    return t, b

@@ -560,41 +560,96 @@ def hit_details(
     t_best,
     best,
     hit_mask,
+    win_rows: Optional[jnp.ndarray] = None,
 ):
     """Reconstruct the full hit record for the winning primitive.
 
     Gathers the winning prim's row per ray and evaluates the per-kind
-    normal/uv formulas masked on kind, all at O(N) (not O(N*P)).  All
-    per-prim tables — geometry AND the resolved material/texture shading
-    rows (ops/shade.py) — are fetched in ONE one-hot contraction
-    (ops/tables.py); per-ray gathers from small tables are the TPU
-    anti-pattern.  Returns ``(Hit, Shade)``.
-    """
-    from .shade import shade_from_rows, shade_table
-    from .tables import take_cols_multi
+    normal/uv formulas masked on kind, all at O(N) (not O(N*P)).  Geometry
+    rows are fetched in ONE one-hot contraction (ops/tables.py — per-ray
+    gathers from small tables are the TPU anti-pattern); shading inputs are
+    then fetched by MATERIAL id from the small mat-keyed table
+    (ops/shade.py), so the fetch stays on the one-hot path regardless of
+    primitive count.
 
-    srows_p = shade_table(scene)  # (S, P), differentiable into the tables
+    ``win_rows`` (f32[bvh8.NCOL, N], from the Pallas packet kernels) short-
+    circuits the geometry fetch entirely for winners inside the BVH region:
+    the kernel already extracted the winner's full leaf row, so only the
+    (small) dense-tail window is fetched per ray.  Returns ``(Hit, Shade)``.
+    """
+    from .bvh8 import COL_FLIP, COL_KIND, COL_MAT
+    from .shade import shade_from_rows, shade_table_mats
+    from .tables import take_cols, take_cols_multi
+
+    if win_rows is None:
+        if scene.any_xform:
+            p, kind, mat, flip, rot_f, trans, inv_s = take_cols_multi(
+                [
+                    scene.params,
+                    scene.kind,
+                    scene.mat_id,
+                    scene.flip,
+                    scene.xf_rot.reshape(9, -1),
+                    scene.xf_trans,
+                    scene.xf_inv_scale,
+                ],
+                best,
+            )
+            rot = rot_f.reshape(3, 3, -1)
+        else:
+            p, kind, mat, flip = take_cols_multi(
+                [scene.params, scene.kind, scene.mat_id, scene.flip], best
+            )
+    else:
+        # BVH-region winners: the traversal kernel's extracted leaf row.
+        # Dense-tail winners (loose prims, mediums): window-local fetch.
+        tail_lo = scene.stats.n_in_bvh
+        is_tree = best < tail_lo
+        kind_tree = jnp.round(win_rows[COL_KIND]).astype(jnp.int32)
+        mat_tree = jnp.round(win_rows[COL_MAT]).astype(jnp.int32)
+        flip_tree = win_rows[COL_FLIP] > 0.5
+        if tail_lo < scene.n_prims:
+            idx_t = jnp.maximum(best, tail_lo) - tail_lo
+            tables = [
+                scene.params[:, tail_lo:],
+                scene.kind[tail_lo:],
+                scene.mat_id[tail_lo:],
+                scene.flip[tail_lo:],
+            ]
+            if scene.any_xform:
+                tables += [
+                    scene.xf_rot.reshape(9, -1)[:, tail_lo:],
+                    scene.xf_trans[:, tail_lo:],
+                    scene.xf_inv_scale[tail_lo:],
+                ]
+            fetched = take_cols_multi(tables, idx_t)
+            tp, tkind, tmat, tflip = fetched[:4]
+            p = jnp.where(is_tree[None], win_rows[: scene.params.shape[0]], tp)
+            kind = jnp.where(is_tree, kind_tree, tkind)
+            mat = jnp.where(is_tree, mat_tree, tmat)
+            flip = jnp.where(is_tree, flip_tree, tflip)
+            if scene.any_xform:
+                # bvh8 trees hold identity-transform prims only
+                rot_f, trans, inv_s = fetched[4:]
+                eye = jnp.eye(3, dtype=jnp.float32).reshape(9, 1)
+                rot = jnp.where(is_tree[None], eye, rot_f).reshape(3, 3, -1)
+                trans = jnp.where(is_tree[None], 0.0, trans)
+                inv_s = jnp.where(is_tree, 1.0, inv_s)
+        else:
+            p = win_rows[: scene.params.shape[0]]
+            kind, mat, flip = kind_tree, mat_tree, flip_tree
+            if scene.any_xform:
+                n = best.shape[0]
+                rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[:, :, None], (3, 3, n))
+                trans = jnp.zeros((3, n))
+                inv_s = jnp.ones((n,))
+
     if scene.any_xform:
-        p, kind, mat, flip, srows, rot_f, trans, inv_s = take_cols_multi(
-            [
-                scene.params,
-                scene.kind,
-                scene.mat_id,
-                scene.flip,
-                srows_p,
-                scene.xf_rot.reshape(9, -1),
-                scene.xf_trans,
-                scene.xf_inv_scale,
-            ],
-            best,
-        )
-        rot = rot_f.reshape(3, 3, -1)
         oo, od = _xform_rays(rot, trans, inv_s, o, d)
     else:
-        p, kind, mat, flip, srows = take_cols_multi(
-            [scene.params, scene.kind, scene.mat_id, scene.flip, srows_p], best
-        )
         oo, od = o, d
+    # shading inputs by material id: one-hot over the small material table
+    srows = take_cols(shade_table_mats(scene), mat)
     shade = shade_from_rows(srows, scene.stats.features)
 
     pt = oo + scale(od, t_best)  # object-space hit point
@@ -682,7 +737,7 @@ def hit_details(
 
     # back to world space: n_w = R^T n_obj, p_w = R^T (p_obj * s) + trans
     if scene.any_xform:
-        s = 1.0 / scene.xf_inv_scale[best]
+        s = 1.0 / inv_s  # fetched above (never a per-lane gather)
         p_world = _apply_rot_t(rot, pt * s[None]) + trans
         n_world = _apply_rot_t(rot, face_normal)
     else:
@@ -793,15 +848,40 @@ def closest_hit(
         and jax.default_backend() == "tpu"
         and not isinstance(t_min, jax.core.Tracer)
     )
+    # winner-row fast path: when EVERY tree runs the packet kernel, the
+    # kernels hand hit_details the winning leaf rows and no per-ray fetch
+    # over the (possibly huge) BVH-region primitive table is ever needed
+    want_rows = (
+        run_pallas
+        and len(scene.clusters) > 0
+        and all(t8 is not None for t8 in scene.bvh8)
+        and len(scene.bvh8) == len(scene.clusters)
+    )
+    win_rows = None
     for i in range(len(scene.clusters)):
         tree8 = scene.bvh8[i] if run_pallas and i < len(scene.bvh8) else None
         if tree8 is not None:
             from .bvh8 import traverse_bvh8
 
-            t_i, b_i = traverse_bvh8(
-                tree8, scene.stats.trees[i][0], o, d, tm, float(t_min), t_init=t_best
+            out = traverse_bvh8(
+                tree8,
+                scene.stats.trees[i][0],
+                o,
+                d,
+                tm,
+                float(t_min),
+                t_init=t_best,
+                return_rows=want_rows,
             )
+            t_i, b_i = out[0], out[1]
             take = (b_i >= 0) & (t_i < t_best) & (t_i <= t_max)
+            if want_rows:
+                rows_i = out[2]
+                win_rows = (
+                    rows_i
+                    if win_rows is None
+                    else jnp.where(take[None], rows_i, win_rows)
+                )
         else:
             t_i, b_i = traverse_clusters(scene, i, o, d, tm, t_min, t_max)
             take = t_i < t_best
@@ -845,4 +925,4 @@ def closest_hit(
 
     hit_mask = jnp.isfinite(t_best)
     safe_t = jnp.where(hit_mask, t_best, 1.0)
-    return hit_details(scene, o, d, tm, safe_t, best, hit_mask)
+    return hit_details(scene, o, d, tm, safe_t, best, hit_mask, win_rows=win_rows)

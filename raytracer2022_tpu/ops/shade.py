@@ -43,25 +43,30 @@ def n_shade_rows(features: frozenset) -> int:
     return 10 + (6 if "checker" in features else 0)
 
 
-def shade_table(scene: SceneData) -> jnp.ndarray:
-    """Resolve mat -> tex -> params per primitive -> f32[S, P].
+def shade_table_mats(scene: SceneData) -> jnp.ndarray:
+    """Resolve mat -> tex -> params per MATERIAL -> f32[S, M].
+
+    All shading inputs are functions of the material id alone, so the table
+    is keyed by material — the per-ray fetch is then a one-hot dot over the
+    small material table even when the scene has tens of thousands of
+    primitives (the round-3 wwscene fetch went through the 13k-prim table
+    and fell off the one-hot path into per-element gathers).
 
     Differentiable w.r.t. ``materials.param`` and ``textures.color`` (the
     one-hot contraction VJP is an MXU scatter-add back into the tables).
-    Runs once per trace; cost is O(P), negligible next to the wavefront.
+    Runs once per trace; cost is O(M), negligible next to the wavefront.
     """
     mt, tt = scene.materials, scene.textures
-    mk, mp, mtex = take_cols_multi([mt.kind, mt.param, mt.tex], scene.mat_id)
     tex_tables = [tt.kind, tt.color, tt.scale, tt.img, tt.atlas_size[:, tt.img]]
     if "checker" in scene.stats.features:
         # checker sub-textures are always solids (texture/mod.rs:40-48)
         tex_tables.append(tt.color[:, tt.sub[0]])
         tex_tables.append(tt.color[:, tt.sub[1]])
-    rows = take_cols_multi(tex_tables, mtex)
+    rows = take_cols_multi(tex_tables, mt.tex)
     tk, color, sc, img, wh = rows[:5]
     parts = [
-        mk.astype(jnp.float32)[None],
-        mp[None],
+        mt.kind.astype(jnp.float32)[None],
+        mt.param[None],
         tk.astype(jnp.float32)[None],
         color,
         sc[None],
@@ -72,6 +77,12 @@ def shade_table(scene: SceneData) -> jnp.ndarray:
         parts.append(rows[5])
         parts.append(rows[6])
     return jnp.concatenate(parts, axis=0)
+
+
+def shade_table(scene: SceneData) -> jnp.ndarray:
+    """Per-primitive shading rows f32[S, P] (compat wrapper: the mat-keyed
+    table gathered at each primitive's material id)."""
+    return shade_table_mats(scene)[:, scene.mat_id]
 
 
 def shade_from_rows(rows: jnp.ndarray, features: frozenset) -> Shade:

@@ -21,7 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.camera import Camera
 from ..render.integrator import TraceConfig
-from ..render.renderer import RenderConfig, render_batch
+from ..render.renderer import (
+    RenderConfig,
+    render_batch,
+    render_batch_regen,
+    render_batch_regen_diff,
+)
 from ..scene.types import SceneData
 
 
@@ -50,6 +55,73 @@ def _sharded_render_fn(mesh: Mesh, axis_name: str, width, height, spp_local, tcf
             check_vma=False,
         )
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_regen_fn(mesh: Mesh, axis_name: str, width, height, spp_par, spp_seq, tcfg):
+    """Build-and-cache the jitted sharded PRODUCTION render (regen
+    integrator + Pallas fast path) keyed on mesh + shape."""
+
+    def shard_fn(scene, camera, key):
+        idx = jax.lax.axis_index(axis_name)
+        local_key = jax.random.fold_in(key, idx)
+        part = render_batch_regen(
+            scene, camera, local_key, width, height, spp_par, spp_seq, tcfg
+        )
+        return jax.lax.psum(part, axis_name)
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def render_sharded_regen_sum(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    axis_name: str = "chips",
+):
+    """PRODUCTION multi-chip render: the path-regeneration integrator (with
+    the Pallas packet traversal) sharded over spp -> ``((3, H, W) radiance
+    sum, n_samples)``.
+
+    Every chip traces an identical-shape (pixels x spp/n) pooled-regen
+    wavefront with a distinct fold of the seed; the partial sums ride ONE
+    ``psum`` over ICI (the mpsc gather of main.rs:171-183).  ``cfg.spp``
+    need not divide the chip count — it is rounded UP to ``n_chips *
+    spp_par * spp_seq`` and the actual sample count returned for
+    normalization (the reference's row-shuffle load balancing,
+    main.rs:93-99, is unnecessary: every chip gets identical work by
+    construction).
+    """
+    n_chips = mesh.devices.size
+    spp_chip = -(-cfg.spp // n_chips)  # ceil: no divisibility requirement
+    # mirror render_sum_n's regen split: parallel lanes x sequential samples
+    if cfg.spp_per_batch > 0:
+        spp_par = min(cfg.spp_per_batch, spp_chip)
+    else:
+        spp_par = max(
+            1,
+            min(
+                cfg.max_rays_per_batch // (cfg.width * cfg.height),
+                spp_chip // 8 or 1,
+            ),
+        )
+    spp_seq = -(-spp_chip // spp_par)
+    fn = _sharded_regen_fn(
+        mesh, axis_name, cfg.width, cfg.height, spp_par, spp_seq, cfg.trace_cfg()
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    rep = NamedSharding(mesh, P())
+    scene, camera, key = jax.device_put((scene, camera, key), rep)
+    return fn(scene, camera, key), n_chips * spp_par * spp_seq
 
 
 def render_sharded_sum(
@@ -86,6 +158,7 @@ def fit_step_fn(
     mesh: Optional[Mesh] = None,
     axis_name: str = "chips",
     lr: float = 0.05,
+    regen_iters: Optional[int] = None,
 ):
     """Differentiable-fit train step factory (BASELINE north star config 5).
 
@@ -94,12 +167,27 @@ def fit_step_fn(
     bounce loop to the material/texture tables and camera, all-reduces the
     gradients over the mesh (overlapped with backward by XLA), and applies
     SGD.  With ``mesh=None`` runs single-chip.
+
+    ``regen_iters``: when given, the render inside the loss runs the
+    differentiable REGENERATION integrator with this static trip count
+    (see renderer.regen_iters_estimate) instead of the full-width scan —
+    the production fwd+bwd path, typically ~10x faster at equal sample
+    count.
     """
     tcfg = cfg.trace_cfg()
 
     def loss_fn(scene, camera, target, key, spp):
-        img = render_batch(scene, camera, key, cfg.width, cfg.height, spp, tcfg)
-        img = img / float(spp)
+        if regen_iters is not None:
+            spp_par = max(1, spp // 8)
+            spp_seq = -(-spp // spp_par)
+            img, cnt = render_batch_regen_diff(
+                scene, camera, key, cfg.width, cfg.height,
+                spp_par, spp_seq, regen_iters, tcfg,
+            )
+            img = img / jnp.maximum(cnt, 1)[None]
+        else:
+            img = render_batch(scene, camera, key, cfg.width, cfg.height, spp, tcfg)
+            img = img / float(spp)
         return jnp.mean((img - target) ** 2)
 
     grad_leaves = ("materials", "textures_color")

@@ -91,16 +91,16 @@ def render_batch_regen(
     """One device launch via path regeneration -> (3, H, W) radiance SUM
     over ``spp_par * spp_seq`` samples.  See integrator.trace_regen."""
     n = height * width * spp_par
-    # lane l starts on pixel l // spp_par (row-major); lanes migrate when
-    # the integrator sorts for coherence, so rays are generated from the
-    # lane's CURRENT pixel id
-    pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
+    # lane l starts on pixel l % n_pix (pixel-STRIDED, see _pool_reserve's
+    # layout note); lanes migrate when the integrator sorts for coherence,
+    # so rays are generated from the lane's CURRENT pixel id
+    pix0 = jnp.arange(n, dtype=jnp.int32) % (height * width)
     k_trace = jax.random.fold_in(key, 0x5EED)
     gen_rays = _regen_gen_rays(camera, width, height, n)
     radiance = trace_regen(
         scene, gen_rays, pix0, spp_seq, k_trace, cfg, spp_par=spp_par
     )  # (3, N)
-    return jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
+    return jnp.sum(radiance.reshape(3, spp_par, height, width), axis=1)
 
 
 def _regen_gen_rays(camera: Camera, width: int, height: int, n: int):
@@ -138,14 +138,14 @@ def render_batch_regen_diff(
     (no tangent) so normalization needs no stop_gradient.
     """
     n = height * width * spp_par
-    pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
+    pix0 = jnp.arange(n, dtype=jnp.int32) % (height * width)
     k_trace = jax.random.fold_in(key, 0x5EED)
     gen_rays = _regen_gen_rays(camera, width, height, n)
     radiance, done = trace_regen_diff(
         scene, gen_rays, pix0, spp_seq, n_iters, k_trace, cfg, spp_par=spp_par
     )
-    img = jnp.sum(radiance.reshape(3, height, width, spp_par), axis=3)
-    counts = jnp.sum(done.reshape(height, width, spp_par), axis=2)
+    img = jnp.sum(radiance.reshape(3, spp_par, height, width), axis=1)
+    counts = jnp.sum(done.reshape(spp_par, height, width), axis=0)
     return img, counts
 
 
@@ -168,7 +168,7 @@ def regen_iters_estimate(
     differentiable scan pays only the iterations the workload needs."""
     key = jax.random.PRNGKey(0) if key is None else key
     n = height * width * spp_par
-    pix0 = jnp.arange(n, dtype=jnp.int32) // spp_par
+    pix0 = jnp.arange(n, dtype=jnp.int32) % (height * width)
     gen_rays = _regen_gen_rays(camera, width, height, n)
     _, iters = trace_regen(
         scene,

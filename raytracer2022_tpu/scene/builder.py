@@ -536,7 +536,9 @@ class SceneBuilder:
             else:
                 lo8 = int(starts[0])
                 gids = np.arange(lo8, lo8 + len(pb_lo))
-                bvh8_trees.append(build_bvh8(k, params, gids, pb_lo, pb_hi))
+                bvh8_trees.append(
+                    build_bvh8(k, params, mat_id, flip, gids, pb_lo, pb_hi)
+                )
             # slot j of cluster c = prim start_c + min(j, count_c - 1)
             # (padding re-tests the last prim: harmless duplicate)
             pid = starts[:, None] + np.minimum(np.arange(m)[None, :], counts[:, None] - 1)

@@ -77,6 +77,31 @@ def test_bvh8_matches_brute_force(rng, kind):
         assert same.mean() > 0.99
 
 
+@pytest.mark.parametrize("kind", [SPHERE, TRIANGLE, RECT])
+def test_bvh8_winner_rows_exact(rng, kind):
+    """return_rows hands back the winner's full param row EXACTLY (the
+    rows feed hit_details' geometry math, so bf16 rounding would shift
+    normals/uvs)."""
+    from raytracer2022_tpu.ops.bvh8 import COL_FLIP, COL_KIND, COL_MAT, COL_PID
+
+    scene = _build_scene(kind, rng)
+    o, d, tm = _rays(rng)
+    t8, b8, rows = traverse_bvh8(
+        scene.bvh8[0], kind, o, d, tm, T_MIN, interpret=True, return_rows=True
+    )
+    hit = np.asarray(b8) >= 0
+    assert hit.any()
+    b = np.asarray(b8)[hit]
+    r = np.asarray(rows)[:, hit]
+    np.testing.assert_array_equal(r[:16], np.asarray(scene.params)[:, b])
+    np.testing.assert_array_equal(np.round(r[COL_PID]).astype(int), b)
+    np.testing.assert_array_equal(
+        np.round(r[COL_MAT]).astype(int), np.asarray(scene.mat_id)[b]
+    )
+    np.testing.assert_array_equal(r[COL_FLIP] > 0.5, np.asarray(scene.flip)[b])
+    assert (r[COL_KIND] == kind).all()
+
+
 def test_bvh8_inf_t_init(rng):
     """Regression: +inf t_init (closest_hit's no-hit-yet lanes) must behave
     exactly like the FAR default — an all-miss leaf once falsely updated

@@ -117,30 +117,52 @@ def main(argv=None) -> int:
             ),
         )
 
-    # hit_details for fixed winners
+    # hit_details & shading stages: ROLL the winner arrays by a key-derived
+    # shift each iteration so the fetches cannot be hoisted out of the scan
+    # as loop-invariant (they were in the round-3 probe, reporting ~0 ms)
     hit, shade = jax.jit(lambda o, d: closest_hit(s, o, d, tm, 1e-3, jnp.inf, key))(o, d)
-    run(
+
+    def rolled(k):
+        import jax as _jax
+
+        shift = jax.random.randint(k, (), 0, n)
+        h = _jax.tree.map(lambda a: jnp.roll(a, shift, axis=-1), hit)
+        sh = _jax.tree.map(lambda a: jnp.roll(a, shift, axis=-1), shade)
+        return h, sh
+
+    def run_rolled(name, stage):
+        run(name, lambda o, d, k: stage(o, d, k, *rolled(k)))
+
+    run("roll_overhead", lambda o, d, k: rolled(k)[0].p)
+    run_rolled(
         "hit_details",
-        lambda o, d, k: hit_details(s, o, d, tm, hit.t, hit.prim, hit.hit)[0].p,
+        lambda o, d, k, h, sh: hit_details(s, o, d, tm, h.t, h.prim, h.hit)[0].p,
     )
-    run("texture", lambda o, d, k: texture_value(s.textures, shade, hit, s.stats.features))
-    run(
+    run_rolled(
+        "texture",
+        lambda o, d, k, h, sh: texture_value(s.textures, sh, h, s.stats.features),
+    )
+    run_rolled(
         "scatter_emit",
-        lambda o, d, k: scatter(
-            shade, hit, jnp.ones((3, n)), d, tm, k
-        ).spec_dir
-        + emitted(shade, hit, jnp.ones((3, n))),
+        lambda o, d, k, h, sh: scatter(sh, h, jnp.ones((3, n)), d, tm, k).spec_dir
+        + emitted(sh, h, jnp.ones((3, n))),
     )
     if len(s.stats.light_ids):
-        run(
+        run_rolled(
             "lights",
-            lambda o, d, k: sample_lights(s, hit.p, k)
-            + lights_pdf(s, hit.p, d, tm)[None],
+            lambda o, d, k, h, sh: sample_lights(s, h.p, k)
+            + lights_pdf(s, h.p, d, tm)[None],
         )
     cfg = TraceConfig(background=bundle.background)
     alive = jnp.ones((n,), dtype=bool)
     thr = jnp.ones((3, n))
     run("whole_vertex", lambda o, d, k: _eval_vertex(s, cfg, o, d, tm, thr, alive, k).o)
+    run(
+        "whole_vertex_pallas",
+        lambda o, d, k: _eval_vertex(
+            s, cfg, o, d, tm, thr, alive, k, use_pallas=True
+        ).o,
+    )
 
     print(json.dumps(results), flush=True)
     return 0

@@ -35,7 +35,7 @@ import numpy as np
 
 from ..scene.types import MSPHERE, RECT, RING, SPHERE, TRIANGLE
 
-LEAF = 8
+LEAF = 16  # prims per leaf: 16 beat 8 by ~4% on wwscene (fewer serial visits)
 FANOUT = 8
 MAX_STACK = 160
 SENT = 0x7FFFFFFF  # empty-child tag, never pushed

@@ -86,14 +86,24 @@ def perlin_turb(tt: TextureTable, p: jnp.ndarray, depth: int = 7) -> jnp.ndarray
 
 def _image_lookup(tt: TextureTable, img_id, w, h, i, j):
     """Gather a texel (atlas rows are pre-v-flipped like the reference's
-    loader, texture/mod.rs:96-105). Returns (3, N) in [0, ~1]."""
+    loader, texture/mod.rs:96-105). Returns (3, N) in [0, ~1].
+
+    The atlas is u32-packed RGB: ONE per-lane gather, then bit unpack on
+    the VPU (3x fewer gathers than a channel-planar atlas)."""
     i = jnp.clip(i, 0, w - 1)
     j = jnp.clip(j, 0, h - 1)
-    texel = tt.atlas[img_id, :, j, i]  # (N, 3) after advanced indexing
-    if texel.ndim == 2 and texel.shape[-1] == 3:
-        texel = texel.T
+    packed = tt.atlas[img_id, j, i].astype(jnp.uint32)  # (N,)
     color_scale = 1.0 / 255.999
-    return texel.astype(jnp.float32) * color_scale
+    return (
+        jnp.stack(
+            [
+                (packed & 0xFF).astype(jnp.float32),
+                ((packed >> 8) & 0xFF).astype(jnp.float32),
+                ((packed >> 16) & 0xFF).astype(jnp.float32),
+            ]
+        )
+        * color_scale
+    )
 
 
 def _eval_image(tt: TextureTable, img_id, w, h, u, v):

@@ -106,6 +106,18 @@ def _eval_vertex(
     has_lights = len(scene.stats.light_ids) > 0
     k_hit, k_scatter, k_mix, k_light, k_cos = jax.random.split(bounce_key, 5)
 
+    # Dead lanes' stale rays must not pay for traversal: park them far
+    # outside every AABB so packet/cluster walks reject them at the root.
+    # (Every output of this function is already masked by ``alive``; this
+    # only removes the WORK those lanes caused.  Low-occupancy tail
+    # iterations of the regen schedulers get proportionally cheap.)
+    # 1e6 — beyond any library scene's bounds — NOT 1e30: the parked
+    # origin is squared in the sphere quadratic, and an inf there makes
+    # NaN primals whose zero-masked cotangents still poison reverse-mode
+    # (NaN * 0) through the differentiable integrators.
+    o = jnp.where(alive[None], o, 1e6)
+    d = jnp.where(alive[None], d, 1.0)
+
     hit, shade = closest_hit(
         scene, o, d, tm, cfg.t_min, jnp.inf, k_hit, use_pallas=use_pallas
     )
@@ -246,14 +258,15 @@ def trace_regen(
     scene: SceneData,
     gen_rays,  # (sample_key, pix i32[N]) -> (o (3,N), d (3,N), tm (N,))
     pix0: jnp.ndarray,  # i32[N] initial lane -> pixel assignment
-    spp_seq: int,  # samples per lane (the pixel pool is spp_par * spp_seq)
+    spp_seq: int,  # samples per lane
     key,
     cfg: TraceConfig,
     return_iters: bool = False,
     spp_par: Optional[int] = None,  # lanes per pixel (enables pooling)
+    pool: Optional[bool] = None,  # force global pool on/off (None: sq<=32)
 ) -> jnp.ndarray:
     """Path-regeneration wavefront -> per-lane radiance SUM, grouped by
-    pixel (lane l stays on pixel l % n_pix unless ``cfg.sort_rays``).
+    pixel (lane l serves pixel l % n_pix unless noted below).
 
     TPU-native scheduling win over the fixed-depth scan: when a sample
     terminates (miss / absorbed / pdf-kill / depth cap) its lane immediately
@@ -263,51 +276,84 @@ def trace_regen(
     per-sample estimator is IDENTICAL to :func:`trace` (same vertex math,
     same termination rules); only the schedule differs.
 
-    **Pooled scheduling** (``spp_par`` given, the production path): the
-    ``spp_par`` lanes of one pixel share a pool of ``spp_par * spp_seq``
-    samples instead of owning ``spp_seq`` each.  A lane that finishes a
-    sample reserves the pixel's next undone sample (:func:`_pool_reserve`);
-    with per-lane quotas the wall clock is the MAX over lanes of a sum of
-    random path lengths — one unlucky lane that keeps drawing deep specular
-    chains (wwscene's dielectric stars) runs hundreds of near-empty tail
-    iterations while 131k lanes idle.  Pooling shares that variance across
-    the pixel's lanes; every started sample still runs to completion, so
-    the estimator is unchanged.
+    **Global sample pool** (``spp_par`` given, the production path): the
+    whole launch shares ONE pool of ``N * spp_seq`` samples; sample ``m``
+    targets pixel ``m % n_pix``, and any lane that finishes (or sits idle)
+    reserves the next undone sample via an exclusive cumsum over the
+    wavefront.  Pixel-bound lanes make the wall clock the MAX over pixels
+    of that pixel's total path length — measured occupancy on
+    wwscene/final_scene was 12%, because a hard pixel's 50-bounce specular
+    chains all queue on its own few lanes.  With the global pool,
+    iterations concentrate at ``spp_seq * E[len]`` plus a short
+    low-occupancy tail for the last paths in flight.
+
+    Radiance never needs a scatter inside the loop: each lane deposits the
+    finished sample's radiance at slot ``k`` (its own completed-sample
+    count) of a ``(3, S_max, N)`` store via a one-hot over the small slot
+    axis, and records the sample's pixel id in an ``(S_max, N)`` map; ONE
+    ``segment_sum`` at the end regroups everything by pixel.  Any
+    ``S_max > spp_seq`` cannot deadlock: lanes at the slot cap stop
+    reserving, and the pool (``N*spp_seq`` samples) drains before all
+    lanes could reach the cap; the chosen slack trades per-iteration
+    deposit traffic against capped-lane idling.  Every reserved sample
+    runs to completion, so per-pixel counts are exactly
+    ``spp_par * spp_seq`` and the estimator is unchanged.
 
     When ``cfg.sort_rays`` and the scene has an acceleration structure, the
     wavefront is re-sorted by a coarse origin/direction key every bounce
-    (ops/sort.py) so the block-shared cluster traversal stays coherent; lane
-    migration breaks pixel-contiguity, so the sort path keeps per-lane
-    quotas and carries pixel ids for the final regrouping sort.
+    (ops/sort.py) so the block-shared cluster traversal stays coherent;
+    lane migration breaks the slot bookkeeping, so the sort path keeps
+    fixed lane->pixel quotas and carries pixel ids for the final
+    regrouping sort.
 
-    ``lax.while_loop`` exits when the pools are drained and every in-flight
-    path has terminated; this is forward-only (not reverse-differentiable)
-    — the fit path uses :func:`trace_regen_diff` or :func:`trace`.
+    ``lax.while_loop`` exits when the pool is drained and every in-flight
+    path has terminated; this is forward-only (not
+    reverse-differentiable) — the fit path uses :func:`trace_regen_diff`
+    or :func:`trace`.
     """
     from ..ops.sort import ray_sort_key, sort_by_key
 
-    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix0)
-    n = tm0.shape[0]
-    zeros3 = jnp.zeros((3, n))
-    max_iter = spp_seq * cfg.max_depth + 1  # hard safety bound
+    n = pix0.shape[0]
     do_sort = cfg.sort_rays and scene.use_bvh and n >= 2048
-    pooled = spp_par is not None and not do_sort
+    # Global pooling pays a per-iteration deposit cost proportional to the
+    # (3, S_max, N) store; the gate keeps it where it wins.  Measured:
+    # heterogeneous scenes (wwscene/final/random at sq<=32) gain 1.2-4x
+    # from pooling; cornell's cheap uniform bounces at sq=64 lose 8x to
+    # the deposit, and its quota schedule is already ~80% occupied.
+    if pool is None:
+        pool = spp_seq <= 32
+    sched = spp_par is not None and not do_sort and pool
     wb = scene.stats.world_bounds
+    max_iter = (spp_seq + 1) * cfg.max_depth + 2  # hard safety bound
+
+    if sched:
+        n_pix = n // spp_par
+        # slot capacity: N*s_max > N*spp_seq guarantees the pool drains
+        # before every lane could cap out (no deadlock); the extra slack
+        # trades deposit traffic against capped-lane idling
+        s_max = 2 * spp_seq + 2 if spp_seq <= 16 else spp_seq + 8
+        slot_iota = jnp.arange(s_max, dtype=jnp.int32)[:, None]  # (S_max, 1)
+        pix_start = jnp.arange(n, dtype=jnp.int32) % n_pix  # samples 0..N-1
+    else:
+        pix_start = pix0
+
+    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix_start)
+    zeros3 = jnp.zeros((3, n))
 
     def cond(state):
-        it, _, _, _, _, _, work, _, _ = state
-        if pooled:
-            alive, remaining = work
-            go = jnp.any(alive) | jnp.any(remaining > 0)
+        it = state[0]
+        if sched:
+            working, remaining = state[6][0], state[6][1]
+            go = jnp.any(working) | (remaining > 0)
         else:
-            go = jnp.any(work < spp_seq)
+            go = jnp.any(state[6] < spp_seq)
         return (it < max_iter) & go
 
     def body(state):
         it, o, d, tm, throughput, radiance, work, depth, pix = state
-        if pooled:
-            alive, remaining = work
-            working = alive
+        if sched:
+            store, sample_rad, pix_map = radiance
+            working, remaining, slots, drawn = work
         else:
             done = work
             working = done < spp_seq
@@ -317,16 +363,38 @@ def trace_regen(
         vx = _eval_vertex(
             scene, cfg, o, d, tm, throughput, working, k_vertex, use_pallas=True
         )
-        radiance = radiance + vx.radiance_add  # masked by `working`
 
         depth = depth + 1
         cont = vx.cont & (depth < cfg.max_depth)  # depth cap = black tail
         finished = working & ~cont  # this sample just completed
 
-        if pooled:
-            start, remaining = _pool_reserve(finished | ~alive, remaining, spp_par)
-            work = (cont | start, remaining)
+        if sched:
+            sample_rad = sample_rad + vx.radiance_add  # in-flight accumulation
+            # deposit the finished sample at the lane's slot: a one-hot
+            # broadcast-add over the small S_max axis.  (A unique-index
+            # scatter would avoid rewriting the store, but TPU scatter
+            # measured 3-5x SLOWER than this full-array add at S_max<=34;
+            # the pool is therefore gated to small spp_seq upstream.)
+            dep = (slot_iota == slots[None]) & finished[None]  # (S_max, N)
+            store = store + sample_rad[:, None, :] * dep[None]
+            slots = slots + finished.astype(slots.dtype)
+            sample_rad = jnp.where(finished[None], 0.0, sample_rad)
+            # reserve the next pool samples: idle or just-finished lanes
+            # with slot room, granted in cumsum rank order
+            want = (finished | ~working) & (slots < s_max)
+            wanti = want.astype(jnp.int32)
+            rank = jnp.cumsum(wanti) - wanti
+            start = want & (rank < remaining)
+            m = drawn + rank  # global sample index of the new sample
+            pix = jnp.where(start, m % n_pix, pix)
+            n_started = jnp.sum(start.astype(jnp.int32))
+            # record the NEW sample's pixel at the lane's (advanced) slot
+            rec = (slot_iota == slots[None]) & start[None]
+            pix_map = jnp.where(rec, pix[None], pix_map)
+            radiance = (store, sample_rad, pix_map)
+            work = (cont | start, remaining - n_started, slots, drawn + n_started)
         else:
+            radiance = radiance + vx.radiance_add  # masked by `working`
             done = done + finished.astype(done.dtype)
             start = finished
             work = done
@@ -365,28 +433,48 @@ def trace_regen(
             work = donef
         return (it + 1, o, d, tm, throughput, radiance, work, depth, pix)
 
-    if pooled:
-        n_pix = n // spp_par
-        # every lane starts in flight; the pool holds the rest
+    if sched:
+        pix_map0 = jnp.full((s_max, n), n_pix, dtype=jnp.int32)
+        pix_map0 = pix_map0.at[0].set(pix_start)  # slot-0: initial wavefront
+        rad0 = (
+            jnp.zeros((3, s_max, n)),  # deposited samples by (slot, lane)
+            zeros3,  # in-flight sample radiance
+            pix_map0,  # slot -> pixel id (sentinel n_pix = unused)
+        )
         work0 = (
-            jnp.ones((n,), dtype=bool),
-            jnp.full((n_pix,), spp_par * (spp_seq - 1), dtype=jnp.int32),
+            jnp.ones((n,), dtype=bool),  # every lane starts in flight
+            jnp.int32(n * (spp_seq - 1)),  # remaining pool
+            jnp.zeros((n,), dtype=jnp.int32),  # completed-sample slots
+            jnp.int32(n),  # samples drawn so far (initial wavefront)
         )
     else:
+        rad0 = zeros3
         work0 = jnp.zeros((n,), dtype=jnp.int32)
+
     state = (
         jnp.int32(0),
         o0,
         d0,
         tm0,
         jnp.ones((3, n)),
-        zeros3,
+        rad0,
         work0,
         jnp.zeros((n,), dtype=jnp.int32),
-        pix0,
+        pix_start,
     )
     state = jax.lax.while_loop(cond, body, state)
     radiance, pix = state[5], state[8]
+    if sched:
+        store, _, pix_map = radiance
+        # ONE regroup by pixel at launch end (sentinel n_pix rows drop off)
+        img = jax.ops.segment_sum(
+            store.reshape(3, -1).T,
+            pix_map.reshape(-1),
+            num_segments=n_pix + 1,
+            indices_are_sorted=False,
+        )[:n_pix].T  # (3, n_pix)
+        # keep the per-lane return contract: lane l carries pixel l % n_pix
+        radiance = jnp.concatenate([img] * spp_par, axis=1) / float(spp_par)
     if do_sort:
         # restore pixel grouping (lanes of one pixel become adjacent again)
         r0, r1, r2 = sort_by_key(pix, (radiance[0], radiance[1], radiance[2]))

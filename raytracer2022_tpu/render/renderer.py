@@ -87,6 +87,7 @@ def render_batch_regen(
     spp_par: int,  # lanes per pixel
     spp_seq: int,  # samples each lane completes sequentially
     cfg: TraceConfig,
+    pool=None,  # force the global sample pool on/off (None: heuristic)
 ) -> jnp.ndarray:
     """One device launch via path regeneration -> (3, H, W) radiance SUM
     over ``spp_par * spp_seq`` samples.  See integrator.trace_regen."""
@@ -98,7 +99,7 @@ def render_batch_regen(
     k_trace = jax.random.fold_in(key, 0x5EED)
     gen_rays = _regen_gen_rays(camera, width, height, n)
     radiance = trace_regen(
-        scene, gen_rays, pix0, spp_seq, k_trace, cfg, spp_par=spp_par
+        scene, gen_rays, pix0, spp_seq, k_trace, cfg, spp_par=spp_par, pool=pool
     )  # (3, N)
     return jnp.sum(radiance.reshape(3, spp_par, height, width), axis=1)
 
@@ -190,7 +191,7 @@ _render_batch_jit = jax.jit(
 
 _render_batch_regen_jit = jax.jit(
     render_batch_regen,
-    static_argnames=("width", "height", "spp_par", "spp_seq", "cfg"),
+    static_argnames=("width", "height", "spp_par", "spp_seq", "cfg", "pool"),
 )
 
 
@@ -228,13 +229,15 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
         spp_seq = -(-cfg.spp // batch)
         # Bound the work of ONE device launch: the axon tunnel kills
         # executions running longer than ~60 s ("TPU worker crashed"), and
-        # sub-launches cost only ~40 ms dispatch each.  8 sequential
-        # samples per launch keeps every library scene under the watchdog;
-        # RT2022_MAX_SPP_SEQ lowers it further for very slow scene/size
-        # combinations (final_scene's 50-bounce volume paths at large N).
+        # sub-launches cost only ~40 ms dispatch each.  Every launch pays
+        # the regen scheduler's ~max_depth low-occupancy tail once, so
+        # bigger sequential chunks amortize it — 32 keeps every library
+        # scene several-fold under the watchdog at the default lane cap.
+        # RT2022_MAX_SPP_SEQ tunes it: lower for very slow scene/size
+        # combinations, higher on real TPU deployments with no watchdog.
         import os as _os
 
-        chunk = min(spp_seq, int(_os.environ.get("RT2022_MAX_SPP_SEQ", "8")))
+        chunk = min(spp_seq, int(_os.environ.get("RT2022_MAX_SPP_SEQ", "32")))
         if progress is not None:
             chunk = max(1, min(chunk, spp_seq // 8 or 1))
         n_launches = -(-spp_seq // chunk)

@@ -571,17 +571,23 @@ class SceneBuilder:
             i = j
         kinds_present = tuple(sorted(set(int(k) for k in kind)))
 
-        # --- texture atlas ---
+        # --- texture atlas (u32-PACKED: R | G<<8 | B<<16) ---
+        # one gather per texel instead of three channel gathers: the
+        # per-lane atlas fetch measured ~2.1 ms/bounce at 131k lanes on
+        # wwscene's three planet maps before packing
         if self.images:
             hmax = max(im.shape[0] for im in self.images)
             wmax = max(im.shape[1] for im in self.images)
-            atlas = np.zeros((len(self.images), 3, hmax, wmax), dtype=np.uint8)
+            atlas = np.zeros((len(self.images), hmax, wmax), dtype=np.uint32)
             sizes = np.zeros((2, len(self.images)), dtype=np.int32)
             for i, im in enumerate(self.images):
-                atlas[i, :, : im.shape[0], : im.shape[1]] = im.transpose(2, 0, 1)
+                im32 = im.astype(np.uint32)
+                atlas[i, : im.shape[0], : im.shape[1]] = (
+                    im32[:, :, 0] | (im32[:, :, 1] << 8) | (im32[:, :, 2] << 16)
+                )
                 sizes[:, i] = im.shape[:2]
         else:
-            atlas = np.zeros((1, 3, 1, 1), dtype=np.uint8)
+            atlas = np.zeros((1, 1, 1), dtype=np.uint32)
             sizes = np.ones((2, 1), dtype=np.int32)
 
         perlin_vec, perlin_perm = _perlin_tables(self.rng)

@@ -74,8 +74,9 @@ class TextureTable:
     ``color`` doubles as the solid color / emission value and is a
     differentiable leaf.  ``sub`` holds the checker odd/even sub-texture ids
     (sub-textures must be solids — the only form the reference ever builds,
-    texture/mod.rs:40-48).  ``atlas`` is a padded stack of images
-    ``u8[I, 3, H, W]`` with per-image sizes for clamping.
+    texture/mod.rs:40-48).  ``atlas`` is a padded stack of images with
+    per-image sizes for clamping, u32-PACKED (R | G<<8 | B<<16) so a texel
+    fetch is ONE per-lane gather instead of three channel gathers.
     """
 
     kind: jnp.ndarray  # i32[T]
@@ -83,7 +84,7 @@ class TextureTable:
     sub: jnp.ndarray  # i32[2, T] checker (odd, even)
     scale: jnp.ndarray  # f32[T] noise scale
     img: jnp.ndarray  # i32[T] atlas index
-    atlas: jnp.ndarray  # u8[I, 3, Hmax, Wmax]
+    atlas: jnp.ndarray  # u32[I, Hmax, Wmax] packed RGB
     atlas_size: jnp.ndarray  # i32[2, I] (h, w)
     perlin_vec: jnp.ndarray  # f32[3, 256] unit gradient vectors (perlin.rs:17-31)
     perlin_perm: jnp.ndarray  # i32[3, 256] shuffled permutations (perlin.rs:33-48)

@@ -95,37 +95,95 @@ def test_regen_diff_albedo_gradient_finite_difference():
     assert g[0, floor_tex] > 0
 
 
-def test_camera_gradient_is_finite_and_nonzero():
-    scene = _mini_cornell()
-    cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
+def test_camera_gradient_finite_difference():
+    """Camera lookfrom gradient vs central finite differences (VERDICT r3
+    item 6: an FD assertion, not just finite+nonzero).
+
+    The scene is built to make f(lookfrom) SMOOTH — a marble-noise floor
+    extending beyond the frustum under an edgeless emissive dome — because
+    pathwise autodiff computes the derivative of the integrand, which
+    equals the derivative of the integral only away from silhouette jumps
+    (on Cornell the FD signal is swamped by the boxes' edges sweeping
+    across pixels).  Geometry is kept SMALL and the view near-perpendicular
+    so hit points move slowly with lookfrom: with far-away grazing hits the
+    7-octave marble makes f oscillate on scales below any usable eps and
+    central differences alias.  Depth 2: camera -> textured floor -> dome,
+    so f = 2 * mean(marble(p(y))) exactly — a smooth composition."""
+    b = SceneBuilder()
+    dome = b.sphere((0, 0, 0), 50, b.diffuse_light((2.0, 2.0, 2.0)))
+    b.flip_face(dome)
+    b.rect_xz(-30, 30, -30, 30, 0.0, b.lambertian(b.noise(0.5)))
+    scene = b.finalize()
+    cfg = TraceConfig(max_depth=2, background=(0.0, 0.0, 0.0))
 
     def f(lookfrom_y):
-        cam = make_camera((0.0, lookfrom_y, -8.0), (0, 1, 0), (0, 1, 0), 40, 1.0)
-        return _loss_fn(scene, cam, cfg, spp=16)
+        cam = make_camera((0.0, lookfrom_y, -2.0), (0.0, 0.0, -1.9), (0, 1, 0), 30, 1.0)
+        return _loss_fn(scene, cam, cfg, spp=32)
 
-    g = jax.grad(f)(2.0)
-    assert np.isfinite(float(g))
-    # moving the camera changes the image
-    assert abs(float(g)) > 1e-6
+    g = float(jax.grad(f)(8.0))
+    assert np.isfinite(g) and abs(g) > 1e-6
+    eps = 1e-3
+    fd = (float(f(8.0 + eps)) - float(f(8.0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=5e-2, atol=1e-6)
 
 
-def test_fuzz_ir_gradients_flow():
+def test_fuzz_gradient_finite_difference():
+    """Metal fuzz gradient vs central FD (material/mod.rs:85-96).  Fuzz
+    perturbs the reflected direction continuously (reparameterized in-ball
+    jitter); for the pathwise gradient to be NONZERO the radiance reaching
+    the metal must vary smoothly with direction, so the scene is a metal
+    ball inside a marble-noise EMISSIVE dome (a constant-emission
+    environment gives an exactly-zero pathwise fuzz gradient — any FD
+    signal there is pure discontinuity noise)."""
     b = SceneBuilder()
-    light = b.rect_xz(-1, 1, -1, 1, 3.9, b.diffuse_light((8.0, 8.0, 8.0)))
-    b.flip_face(light)
-    b.add_light(light)
-    b.rect_xz(-4, 4, -4, 4, 0.0, b.lambertian((0.6, 0.6, 0.6)))
-    b.sphere((0, 1, 0), 1, b.metal((0.9, 0.9, 0.9), 0.2))
+    dome = b.sphere((0, 0, 0), 8, b.diffuse_light(b.noise(0.4)))
+    b.flip_face(dome)
+    b.sphere((0, 0, 0), 1, b.metal((0.9, 0.9, 0.9), 0.3))
     scene = b.finalize()
-    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
-    cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
+    cam = make_camera((0, 0, -5), (0, 0, 0), (0, 1, 0), 30, 1.0)
+    cfg = TraceConfig(max_depth=3, background=(0.0, 0.0, 0.0))
+    metal_mat = int(np.argmax(np.asarray(scene.materials.kind) == 1))
 
     def f(param):
-        return _loss_fn(scene.replace(materials=scene.materials.replace(param=param)), cam, cfg)
+        return _loss_fn(
+            scene.replace(materials=scene.materials.replace(param=param)), cam, cfg
+        )
 
-    g = np.asarray(jax.grad(f)(scene.materials.param))
-    assert np.isfinite(g).all()
-    # the metal's fuzz parameter perturbs reflected dirs -> nonzero grad
-    # (prims are kind-permuted by the compiler: find the metal by kind)
-    metal_mat = int(np.argmax(np.asarray(scene.materials.kind) == 1))
-    assert abs(g[metal_mat]) > 0
+    p0 = scene.materials.param
+    g = np.asarray(jax.grad(f)(p0))
+    assert np.isfinite(g).all() and abs(g[metal_mat]) > 1e-4
+    eps = 1e-3
+    e = jnp.zeros_like(p0).at[metal_mat].set(eps)
+    fd = (float(f(p0 + e)) - float(f(p0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g[metal_mat], fd, rtol=0.1, atol=1e-5)
+
+
+def test_ir_gradient_finite_difference():
+    """Dielectric IOR gradient vs central FD (material/mod.rs:120-147).
+    The refraction direction is smooth in ir; the stochastic
+    reflect/refract pick flips only where the Schlick reflectance crosses
+    the sample's uniform draw, so with correlated RNG and a small eps the
+    pathwise autodiff gradient tracks FD within MC tolerance."""
+    b = SceneBuilder()
+    dome = b.sphere((0, 0, 0), 60, b.diffuse_light((2.0, 2.0, 2.0)))
+    b.flip_face(dome)
+    b.add_light(dome)
+    b.rect_xz(-40, 40, -40, 40, 0.0, b.lambertian((0.2, 0.6, 0.8)))
+    b.sphere((0, 1.2, 0), 1, b.dielectric(1.5))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -8), (0, 1.2, 0), (0, 1, 0), 40, 1.0)
+    cfg = TraceConfig(max_depth=8, background=(0.0, 0.0, 0.0))
+    diel_mat = int(np.argmax(np.asarray(scene.materials.kind) == 2))
+
+    def f(param):
+        return _loss_fn(
+            scene.replace(materials=scene.materials.replace(param=param)), cam, cfg, spp=64
+        )
+
+    p0 = scene.materials.param
+    g = np.asarray(jax.grad(f)(p0))
+    assert np.isfinite(g).all() and abs(g[diel_mat]) > 0
+    eps = 1e-2
+    e = jnp.zeros_like(p0).at[diel_mat].set(eps)
+    fd = (float(f(p0 + e)) - float(f(p0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g[diel_mat], fd, rtol=0.15, atol=1e-5)

@@ -187,6 +187,28 @@ def test_regen_diff_truncated_iters_normalizes():
     np.testing.assert_allclose(a.mean(), r.mean(), rtol=0.07)
 
 
+def test_regen_pool_counts_exact():
+    """Global-pool scheduling bookkeeping: inside an emissive dome every
+    sample contributes EXACTLY the emission, so the per-pixel mean equals
+    it bit-for-bit iff no sample is dropped, duplicated, or misrouted by
+    the pool reservation / slot deposit / segment regroup."""
+    from raytracer2022_tpu.render.renderer import render_batch_regen
+
+    b = SceneBuilder()
+    dome = b.sphere((0, 0, 0), 50, b.diffuse_light((1.5, 2.0, 2.5)))
+    b.flip_face(dome)
+    scene = b.finalize()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0)
+    cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
+    spp_par, spp_seq = 4, 8
+    img = np.asarray(
+        render_batch_regen(scene, cam, KEY, 16, 16, spp_par, spp_seq, cfg)
+    ) / (spp_par * spp_seq)
+    np.testing.assert_allclose(img[0], 1.5, rtol=1e-6)
+    np.testing.assert_allclose(img[1], 2.0, rtol=1e-6)
+    np.testing.assert_allclose(img[2], 2.5, rtol=1e-6)
+
+
 def test_regen_matches_scan_statistically():
     """trace_regen computes the same estimator as trace: on a scene where
     every path terminates within the depth cap, the image means must agree

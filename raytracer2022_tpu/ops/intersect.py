@@ -582,13 +582,18 @@ def hit_details(
     from .tables import take_cols, take_cols_multi
 
     if win_rows is None:
+        # per-prim shade rows ride the ONE geometry contraction (the
+        # mat-keyed table expanded by prim id is O(P), built once per
+        # bounce); splitting shade into its own dot cost cornell ~7%
+        srows_p = shade_table_mats(scene)[:, scene.mat_id]
         if scene.any_xform:
-            p, kind, mat, flip, rot_f, trans, inv_s = take_cols_multi(
+            p, kind, mat, flip, srows, rot_f, trans, inv_s = take_cols_multi(
                 [
                     scene.params,
                     scene.kind,
                     scene.mat_id,
                     scene.flip,
+                    srows_p,
                     scene.xf_rot.reshape(9, -1),
                     scene.xf_trans,
                     scene.xf_inv_scale,
@@ -597,8 +602,8 @@ def hit_details(
             )
             rot = rot_f.reshape(3, 3, -1)
         else:
-            p, kind, mat, flip = take_cols_multi(
-                [scene.params, scene.kind, scene.mat_id, scene.flip], best
+            p, kind, mat, flip, srows = take_cols_multi(
+                [scene.params, scene.kind, scene.mat_id, scene.flip, srows_p], best
             )
     else:
         # BVH-region winners: the traversal kernel's extracted leaf row.
@@ -648,8 +653,10 @@ def hit_details(
         oo, od = _xform_rays(rot, trans, inv_s, o, d)
     else:
         oo, od = o, d
-    # shading inputs by material id: one-hot over the small material table
-    srows = take_cols(shade_table_mats(scene), mat)
+    if win_rows is not None:
+        # winner-rows path: shading inputs by MATERIAL id — a one-hot over
+        # the small material table regardless of primitive count
+        srows = take_cols(shade_table_mats(scene), mat)
     shade = shade_from_rows(srows, scene.stats.features)
 
     pt = oo + scale(od, t_best)  # object-space hit point

@@ -37,21 +37,27 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from raytracer2022_tpu import RenderConfig, make_camera
-    from raytracer2022_tpu.parallel.mesh import make_device_mesh, render_sharded_sum
-    from raytracer2022_tpu.render.renderer import render_batch
+    from raytracer2022_tpu.parallel.mesh import (
+        make_device_mesh,
+        render_sharded_regen_sum,
+    )
+    from raytracer2022_tpu.render.renderer import render_batch_regen
     from raytracer2022_tpu.scene.library import cornell_box
 
     bundle = cornell_box()
     cam = make_camera(**bundle.camera_kwargs)
     W = H = 64
-    SPP = 2 * n_dev
-    DEPTH = 16
+    # per-chip work must dwarf the regen tail (~max_depth iterations per
+    # launch) or the virtual-mesh ratio just measures tail noise
+    SPP = 16 * n_dev
+    DEPTH = 8
     cfg = RenderConfig(width=W, height=H, spp=SPP, max_depth=DEPTH, background=bundle.background)
     key = jax.random.PRNGKey(0)
 
-    # single device, whole workload
+    # single device, whole PRODUCTION workload (pooled regen integrator)
+    tcfg = cfg.trace_cfg()
     single = jax.jit(
-        lambda k: render_batch(bundle.scene, cam, k, W, H, SPP, cfg.trace_cfg())
+        lambda k: render_batch_regen(bundle.scene, cam, k, W, H, 2, SPP // 2, tcfg)
     )
     jax.block_until_ready(single(key))
     ts = []
@@ -61,9 +67,10 @@ def main(argv=None) -> int:
         ts.append(time.perf_counter() - t0)
     t_single = sorted(ts)[1]
 
-    # same workload sharded over the mesh (spp/n per device + psum)
+    # same workload sharded over the mesh with the PRODUCTION pipeline
+    # (spp/n of pooled regen per device + one psum)
     mesh = make_device_mesh()
-    jax.block_until_ready(render_sharded_sum(bundle.scene, cam, cfg, mesh))
+    jax.block_until_ready(render_sharded_regen_sum(bundle.scene, cam, cfg, mesh)[0])
     ts = []
     for i in range(3):
         cfg_i = RenderConfig(
@@ -71,7 +78,9 @@ def main(argv=None) -> int:
             background=bundle.background, seed=i,
         )
         t0 = time.perf_counter()
-        jax.block_until_ready(render_sharded_sum(bundle.scene, cam, cfg_i, mesh))
+        jax.block_until_ready(
+            render_sharded_regen_sum(bundle.scene, cam, cfg_i, mesh)[0]
+        )
         ts.append(time.perf_counter() - t0)
     t_sharded = sorted(ts)[1]
 

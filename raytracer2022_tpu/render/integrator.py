@@ -479,6 +479,12 @@ def trace_regen(
         # restore pixel grouping (lanes of one pixel become adjacent again)
         r0, r1, r2 = sort_by_key(pix, (radiance[0], radiance[1], radiance[2]))
         radiance = jnp.stack([r0, r1, r2])
+        if spp_par is not None:
+            # the regroup sort leaves lanes pixel-CONTIGUOUS; the caller's
+            # lane layout is pixel-STRIDED (lane l -> pixel l % n_pix)
+            radiance = (
+                radiance.reshape(3, -1, spp_par).transpose(0, 2, 1).reshape(3, n)
+            )
     if return_iters:
         return radiance, state[0]
     return radiance

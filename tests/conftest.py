@@ -14,7 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RT2022_TEST_TPU=1 keeps the real TPU backend so the @tpu-gated tests
+# (Mosaic kernel parity) run against actual hardware:
+#   RT2022_TEST_TPU=1 python -m pytest tests/test_bvh8.py -k mosaic
+if not os.environ.get("RT2022_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -160,30 +160,70 @@ def test_fuzz_gradient_finite_difference():
 
 def test_ir_gradient_finite_difference():
     """Dielectric IOR gradient vs central FD (material/mod.rs:120-147).
-    The refraction direction is smooth in ir; the stochastic
-    reflect/refract pick flips only where the Schlick reflectance crosses
-    the sample's uniform draw, so with correlated RNG and a small eps the
-    pathwise autodiff gradient tracks FD within MC tolerance."""
+
+    Full-estimator FD is NOT well-posed for ir: the stochastic Schlick
+    reflect/refract pick (mod.rs:134-137) flips discretely as reflectance
+    crosses each sample's fixed uniform draw, and one flip at 12x12x32
+    shifts the FD by ~0.2 while pathwise autodiff (correctly, by the
+    reparameterization convention the fit relies on) drops those Bernoulli
+    jump terms — measured: the flip-term dominates the smooth part at
+    every usable eps.  So the FD assertion targets the DERIVATIVE
+    MACHINERY on the flip-free set: d(scattered direction)/d(ir) through
+    the full closest_hit -> scatter pipeline, masked to lanes whose
+    branch choice is identical at ir +- eps (the mask is a fixed
+    constant, so both sides differentiate the same smooth function).
+    The render-level gradient is additionally asserted finite+nonzero."""
+    from raytracer2022_tpu.ops.intersect import closest_hit
+    from raytracer2022_tpu.ops.materials import scatter, texture_value
+
     b = SceneBuilder()
-    dome = b.sphere((0, 0, 0), 60, b.diffuse_light((2.0, 2.0, 2.0)))
-    b.flip_face(dome)
-    b.add_light(dome)
-    b.rect_xz(-40, 40, -40, 40, 0.0, b.lambertian((0.2, 0.6, 0.8)))
-    b.sphere((0, 1.2, 0), 1, b.dielectric(1.5))
+    b.rect_xz(-30, 30, -30, 30, 0.0, b.diffuse_light(b.noise(0.5)))
+    b.rect_xz(-8, 8, -8, 8, 2.0, b.dielectric(1.5))
     scene = b.finalize()
-    cam = make_camera((0, 2, -8), (0, 1.2, 0), (0, 1, 0), 40, 1.0)
-    cfg = TraceConfig(max_depth=8, background=(0.0, 0.0, 0.0))
     diel_mat = int(np.argmax(np.asarray(scene.materials.kind) == 2))
+    p0 = scene.materials.param
+
+    n = 256
+    k = jax.random.PRNGKey(5)
+    o = jnp.tile(jnp.asarray([[3.0], [6.0], [-3.0]]), (1, n))
+    t = jax.random.normal(k, (3, n)) * jnp.asarray([[2.0], [0.0], [2.0]])
+    d = t + jnp.asarray([[0.0], [2.0], [0.5]]) - o
+    tm = jnp.zeros(n)
+    probe = jax.random.normal(jax.random.fold_in(k, 1), (3, n))
+
+    def spec_dirs(param):
+        s = scene.replace(materials=scene.materials.replace(param=param))
+        hit, shade = closest_hit(s, o, d, tm, 1e-3, jnp.inf, k)
+        tex = texture_value(s.textures, shade, hit, s.stats.features)
+        sc = scatter(shade, hit, tex, d, tm, jax.random.fold_in(k, 2))
+        return jnp.where((hit.hit & sc.is_specular)[None], sc.spec_dir, 0.0)
+
+    eps = 1e-3
+    e = jnp.zeros_like(p0).at[diel_mat].set(eps)
+    d_plus = np.asarray(spec_dirs(p0 + e))
+    d_minus = np.asarray(spec_dirs(p0 - e))
+    # flip-free lanes: the reflect/refract choice did not change under eps
+    mask = jnp.asarray(np.linalg.norm(d_plus - d_minus, axis=0) < 0.1)
+    assert float(mask.sum()) > 50  # plenty of refracting lanes survive
 
     def f(param):
+        return jnp.sum(jnp.where(mask[None], spec_dirs(param) * probe, 0.0))
+
+    g = float(jax.grad(f)(p0)[diel_mat])
+    fd = (float(f(p0 + e)) - float(f(p0 - e))) / (2 * eps)
+    assert abs(g) > 1e-3
+    np.testing.assert_allclose(g, fd, rtol=2e-2, atol=1e-4)
+
+    # render-level: the ir gradient through the full bounce loop is finite
+    # and nonzero (the marble floor makes the refracted landing point, and
+    # hence the image, smoothly ir-dependent)
+    cam = make_camera((3, 6, -3), (0, 0, 0.5), (0, 1, 0), 35, 1.0)
+    cfg = TraceConfig(max_depth=3, background=(0.0, 0.0, 0.0))
+
+    def loss(param):
         return _loss_fn(
-            scene.replace(materials=scene.materials.replace(param=param)), cam, cfg, spp=64
+            scene.replace(materials=scene.materials.replace(param=param)), cam, cfg
         )
 
-    p0 = scene.materials.param
-    g = np.asarray(jax.grad(f)(p0))
-    assert np.isfinite(g).all() and abs(g[diel_mat]) > 0
-    eps = 1e-2
-    e = jnp.zeros_like(p0).at[diel_mat].set(eps)
-    fd = (float(f(p0 + e)) - float(f(p0 - e))) / (2 * eps)
-    np.testing.assert_allclose(g[diel_mat], fd, rtol=0.15, atol=1e-5)
+    gr = np.asarray(jax.grad(loss)(p0))
+    assert np.isfinite(gr).all() and abs(gr[diel_mat]) > 1e-5

@@ -54,21 +54,27 @@ def test_sharded_regen_matches_single_chip_statistically():
 
     scene = _scene()
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
-    # spp=44 does NOT divide 8 chips: exercises the lifted divisibility
+    # spp=108 does NOT divide 8 chips: exercises the lifted divisibility
     # restriction (rounded up, actual count returned)
-    cfg = RenderConfig(width=12, height=12, spp=44, max_depth=4, background=(0, 0, 0))
+    cfg = RenderConfig(width=12, height=12, spp=108, max_depth=4, background=(0, 0, 0))
     mesh = make_device_mesh()
     total, n = render_sharded_regen_sum(scene, cam, cfg, mesh)
-    assert n >= 44 and n % 8 == 0
+    assert n >= 108 and n % 8 == 0
     sharded = np.asarray(total) / n
     tcfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
-    single = np.asarray(
-        render_batch_regen(scene, cam, jax.random.PRNGKey(1), 12, 12, 8, 8, tcfg)
-    ) / 64
-    assert np.abs(sharded.mean() - single.mean()) / single.mean() < 0.1
-    np.testing.assert_allclose(
-        sharded.mean(axis=(1, 2)), single.mean(axis=(1, 2)), rtol=0.15
-    )
+    # noise reference from SEVERAL independent single-chip draws: the
+    # bright light pixels dominate the image-mean variance, so a single
+    # seed pair can fluke an unrepresentatively small gap
+    singles = [
+        np.asarray(
+            render_batch_regen(scene, cam, jax.random.PRNGKey(s), 12, 12, 8, 16, tcfg)
+        ) / 128
+        for s in (1, 7, 13, 23)
+    ]
+    means = np.array([s.mean() for s in singles])
+    assert abs(sharded.mean() - means.mean()) < 3.0 * means.std() + 0.01
+    mads = [np.abs(singles[0] - s).mean() for s in singles[1:]]
+    assert np.abs(sharded - singles[0]).mean() < 3.0 * max(mads) + 1e-3
 
 
 def test_fit_step_runs_and_reduces_loss_direction():

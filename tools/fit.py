@@ -25,6 +25,12 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=0.06)
     ap.add_argument("--out", default="")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--regen",
+        action="store_true",
+        help="fit through the differentiable REGENERATION integrator "
+        "(production fwd+bwd path, ~20x the full-width scan)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -86,10 +92,31 @@ def main(argv=None) -> int:
 
     tcfg = cfg.trace_cfg()
 
-    def loss_fn(color, k):
-        s = scene.replace(textures=scene.textures.replace(color=color))
-        img = _rb(s, cam, k, args.size, args.size, args.spp, tcfg) / args.spp
-        return jnp.mean((img - target) ** 2)
+    if args.regen:
+        from raytracer2022_tpu.render.renderer import (
+            regen_iters_estimate,
+            render_batch_regen_diff,
+        )
+
+        spp_par = max(1, args.spp // 8)
+        spp_seq = -(-args.spp // spp_par)
+        n_iters = regen_iters_estimate(
+            scene, cam, args.size, args.size, spp_par, spp_seq, tcfg
+        )
+
+        def loss_fn(color, k):
+            s = scene.replace(textures=scene.textures.replace(color=color))
+            img, cnt = render_batch_regen_diff(
+                s, cam, k, args.size, args.size, spp_par, spp_seq, n_iters, tcfg
+            )
+            return jnp.mean((img / jnp.maximum(cnt, 1)[None] - target) ** 2)
+
+    else:
+
+        def loss_fn(color, k):
+            s = scene.replace(textures=scene.textures.replace(color=color))
+            img = _rb(s, cam, k, args.size, args.size, args.spp, tcfg) / args.spp
+            return jnp.mean((img - target) ** 2)
 
     # log-space parameterization: a x2 emission error and a x1.6 albedo
     # error become comparable ~0.5-0.7 steps, so one Adam lr fits both

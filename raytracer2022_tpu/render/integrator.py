@@ -340,11 +340,23 @@ def trace_regen(
     o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix_start)
     zeros3 = jnp.zeros((3, n))
 
+    # Narrow drain phase: once the pool is empty no lane ever regenerates,
+    # so occupancy decays toward the handful of longest paths while every
+    # full-width iteration still pays full-width fixed costs (~max_depth
+    # such iterations per launch).  Compact the survivors into an N/4
+    # wavefront and finish them there.
+    narrow = sched and n >= 8192
+    n2 = n // 4 if narrow else n
+
     def cond(state):
         it = state[0]
         if sched:
             working, remaining = state[6][0], state[6][1]
             go = jnp.any(working) | (remaining > 0)
+            if narrow:
+                # hand off to the narrow phase once the pool is drained and
+                # the survivors fit in the N/4 wavefront
+                go &= (remaining > 0) | (jnp.sum(working) > n2)
         else:
             go = jnp.any(state[6] < spp_seq)
         return (it < max_iter) & go
@@ -465,11 +477,59 @@ def trace_regen(
     state = jax.lax.while_loop(cond, body, state)
     radiance, pix = state[5], state[8]
     if sched:
-        store, _, pix_map = radiance
+        store, sample_rad, pix_map = radiance
+        vals = store.reshape(3, -1)
+        pids = pix_map.reshape(-1)
+        if narrow:
+            # drain the survivors in an N/4 wavefront: no pool is left, so
+            # each live lane just finishes its ONE in-flight sample — a
+            # plain masked bounce loop, no slot/pool bookkeeping
+            it_a, o, d, tm, throughput = state[0], *state[1:5]
+            working, depth = state[6][0], state[7]
+            perm = jnp.argsort(~working, stable=True)[:n2]
+
+            def take(x):
+                return jnp.take(x, perm, axis=-1)
+
+            alive2 = jnp.take(working, perm)
+            pix_b = jnp.where(alive2, jnp.take(pix, perm), n_pix)
+
+            def cond_b(s):
+                return (s[0] < cfg.max_depth + 1) & jnp.any(s[6])
+
+            def body_b(s):
+                j, o, d, tm, th, sr, alive, dp = s
+                # continue phase A's per-iteration key counter (no reuse)
+                k_vertex, _ = jax.random.split(jax.random.fold_in(key, it_a + j + 1))
+                vx = _eval_vertex(
+                    scene, cfg, o, d, tm, th, alive, k_vertex, use_pallas=True
+                )
+                sr = sr + vx.radiance_add  # masked by `alive`
+                dp = dp + 1
+                cont = vx.cont & (dp < cfg.max_depth)
+                o = jnp.where(cont[None], vx.o, o)
+                d = jnp.where(cont[None], vx.d, d)
+                tm = jnp.where(cont, vx.tm, tm)
+                th = jnp.where(cont[None], vx.throughput, th)
+                return (j + 1, o, d, tm, th, sr, cont, dp)
+
+            sb = (
+                jnp.int32(0),
+                take(o),
+                take(d),
+                take(tm),
+                take(throughput),
+                take(sample_rad),
+                alive2,
+                take(depth),
+            )
+            sb = jax.lax.while_loop(cond_b, body_b, sb)
+            vals = jnp.concatenate([vals, sb[5]], axis=1)
+            pids = jnp.concatenate([pids, pix_b])
         # ONE regroup by pixel at launch end (sentinel n_pix rows drop off)
         img = jax.ops.segment_sum(
-            store.reshape(3, -1).T,
-            pix_map.reshape(-1),
+            vals.T,
+            pids,
             num_segments=n_pix + 1,
             indices_are_sorted=False,
         )[:n_pix].T  # (3, n_pix)

@@ -200,13 +200,14 @@ def test_regen_pool_counts_exact():
     scene = b.finalize()
     cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), 60, 1.0)
     cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
-    spp_par, spp_seq = 4, 8
-    img = np.asarray(
-        render_batch_regen(scene, cam, KEY, 16, 16, spp_par, spp_seq, cfg)
-    ) / (spp_par * spp_seq)
-    np.testing.assert_allclose(img[0], 1.5, rtol=1e-6)
-    np.testing.assert_allclose(img[1], 2.0, rtol=1e-6)
-    np.testing.assert_allclose(img[2], 2.5, rtol=1e-6)
+    # small config (narrow drain phase off) and 8192-lane config (on)
+    for w, h, spp_par, spp_seq in [(16, 16, 4, 8), (32, 32, 8, 4)]:
+        img = np.asarray(
+            render_batch_regen(scene, cam, KEY, w, h, spp_par, spp_seq, cfg)
+        ) / (spp_par * spp_seq)
+        np.testing.assert_allclose(img[0], 1.5, rtol=1e-6)
+        np.testing.assert_allclose(img[1], 2.0, rtol=1e-6)
+        np.testing.assert_allclose(img[2], 2.5, rtol=1e-6)
 
 
 def test_regen_matches_scan_statistically():

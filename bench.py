@@ -140,6 +140,28 @@ def main():
     out["fwd_bwd_paths_per_s"] = round(W * H * SPP / t_fb, 1)
     out["fwd_bwd_regen_iters"] = n_iters
 
+    # --- fwd+bwd on the 13k-triangle OBJ scene: the packet kernel runs
+    # under stop_gradient and closest_hit recomputes the winner's t
+    # differentiably, so the differentiable path gets BVH acceleration
+    ww = SCENES["wwscene"]()
+    ww_cam = make_camera(**ww.camera_kwargs)
+    ww_cfg = RenderConfig(width=128, height=128, max_depth=50, background=ww.background)
+    ww_tcfg = ww_cfg.trace_cfg()
+    ww_iters = regen_iters_estimate(ww.scene, ww_cam, 128, 128, 4, 8, ww_tcfg)
+
+    def loss_ww(tex_color, k):
+        s = ww.scene.replace(textures=ww.scene.textures.replace(color=tex_color))
+        img, cnt = render_batch_regen_diff(
+            s, ww_cam, k, 128, 128, 4, 8, ww_iters, ww_tcfg
+        )
+        return jnp.mean(img / jnp.maximum(cnt, 1)[None])
+
+    fwd_bwd_ww = jax.jit(
+        lambda k: jax.value_and_grad(loss_ww)(ww.scene.textures.color, k)
+    )
+    t_ww = _median_time(fwd_bwd_ww, key, reps=2)
+    out["fwd_bwd_obj_paths_per_s"] = round(128 * 128 * 32 / t_ww, 1)
+
     # legacy comparison: the full-width scan integrator (round 1-3 metric)
     def loss_scan(mat_param, tex_color, k):
         s = scene.replace(

@@ -834,6 +834,7 @@ def closest_hit(
     t_max,
     key,
     use_pallas: bool = False,
+    recompute_t: bool = True,
 ):
     """Closest hit over the whole scene -> ``(Hit, Shade)``.
 
@@ -855,6 +856,15 @@ def closest_hit(
         and jax.default_backend() == "tpu"
         and not isinstance(t_min, jax.core.Tracer)
     )
+    # The packet kernels run under stop_gradient (Mosaic has no VJP) and
+    # the winner's hit distance is RECOMPUTED differentiably from its leaf
+    # row below — the classic split: accelerate the DISCRETE decision
+    # (which primitive wins), differentiate the CONTINUOUS quantity.
+    # Caveat: geometry-parameter gradients flow only through the XLA
+    # cluster-walk path (the kernel's leaf rows are host-baked constants);
+    # material/texture/camera gradients — the BASELINE north-star set —
+    # are exact here.
+    sg = jax.lax.stop_gradient
     # winner-row fast path: when EVERY tree runs the packet kernel, the
     # kernels hand hit_details the winning leaf rows and no per-ray fetch
     # over the (possibly huge) BVH-region primitive table is ever needed
@@ -873,11 +883,11 @@ def closest_hit(
             out = traverse_bvh8(
                 tree8,
                 scene.stats.trees[i][0],
-                o,
-                d,
-                tm,
+                sg(o),
+                sg(d),
+                sg(tm),
                 float(t_min),
-                t_init=t_best,
+                t_init=sg(t_best),
                 return_rows=want_rows,
             )
             t_i, b_i = out[0], out[1]
@@ -890,7 +900,12 @@ def closest_hit(
                     else jnp.where(take[None], rows_i, win_rows)
                 )
         else:
-            t_i, b_i = traverse_clusters(scene, i, o, d, tm, t_min, t_max)
+            # the lockstep walk's while_loop is not reverse-differentiable;
+            # stop-grad the discrete search here — the winner's t is
+            # recomputed differentiably below for the whole BVH region
+            t_i, b_i = traverse_clusters(
+                scene, i, sg(o), sg(d), sg(tm), t_min, sg(jnp.asarray(t_max))
+            )
             take = t_i < t_best
         t_best = jnp.where(take, t_i, t_best)
         best = jnp.where(take, b_i, best)
@@ -929,6 +944,44 @@ def closest_hit(
             take = (tmed <= t_max) & (tmed < t_best)
             t_best = jnp.where(take, tmed, t_best)
             best = jnp.where(take, med_prim, best)
+
+    if scene.clusters and recompute_t:
+        # differentiable t-recompute for BVH-region winners: one per-lane
+        # evaluation of the winner's own intersection formula — O(N).  The
+        # traversals above run under stop_gradient (Mosaic has no VJP and
+        # the lockstep walk's while_loop is not reverse-differentiable);
+        # this reconnects t to the ray/camera gradients they cut.
+        if win_rows is not None:
+            from .bvh8 import COL_KIND
+
+            kind_w = jnp.round(win_rows[COL_KIND]).astype(jnp.int32)
+            p_w = win_rows  # leaf rows carry the full param row; identity xf
+            oo_w, od_w = o, d
+        else:
+            from .tables import take_cols_multi
+
+            if scene.any_xform:
+                p_w, kind_w, rot_f, trans_w, inv_s_w = take_cols_multi(
+                    [
+                        scene.params,
+                        scene.kind,
+                        scene.xf_rot.reshape(9, -1),
+                        scene.xf_trans,
+                        scene.xf_inv_scale,
+                    ],
+                    best,
+                )
+                oo_w, od_w = _xform_rays(
+                    rot_f.reshape(3, 3, -1), trans_w, inv_s_w, o, d
+                )
+            else:
+                p_w, kind_w = take_cols_multi([scene.params, scene.kind], best)
+                oo_w, od_w = o, d
+        t_rec = _t_switch(
+            kind_w, p_w, oo_w, od_w, tm, t_min, INF, scene.stats.kinds_present
+        )
+        sel = (best < brute_lo) & jnp.isfinite(t_best) & jnp.isfinite(t_rec)
+        t_best = jnp.where(sel, t_rec, t_best)
 
     hit_mask = jnp.isfinite(t_best)
     safe_t = jnp.where(hit_mask, t_best, 1.0)

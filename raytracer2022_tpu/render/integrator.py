@@ -94,6 +94,7 @@ def _eval_vertex(
     alive,
     bounce_key,
     use_pallas: bool = False,
+    recompute_t: bool = True,
 ) -> _Vertex:
     """One path vertex: closest-hit -> emitted -> scatter -> MIS sample.
 
@@ -119,7 +120,15 @@ def _eval_vertex(
     d = jnp.where(alive[None], d, 1.0)
 
     hit, shade = closest_hit(
-        scene, o, d, tm, cfg.t_min, jnp.inf, k_hit, use_pallas=use_pallas
+        scene,
+        o,
+        d,
+        tm,
+        cfg.t_min,
+        jnp.inf,
+        k_hit,
+        use_pallas=use_pallas,
+        recompute_t=recompute_t,
     )
     tex_val = texture_value(scene.textures, shade, hit, features)
     em = emitted(shade, hit, tex_val)
@@ -373,7 +382,8 @@ def trace_regen(
         k_vertex, k_regen = jax.random.split(step_key)
 
         vx = _eval_vertex(
-            scene, cfg, o, d, tm, throughput, working, k_vertex, use_pallas=True
+            scene, cfg, o, d, tm, throughput, working, k_vertex,
+            use_pallas=True, recompute_t=False,  # forward-only launch
         )
 
         depth = depth + 1
@@ -502,7 +512,8 @@ def trace_regen(
                 # continue phase A's per-iteration key counter (no reuse)
                 k_vertex, _ = jax.random.split(jax.random.fold_in(key, it_a + j + 1))
                 vx = _eval_vertex(
-                    scene, cfg, o, d, tm, th, alive, k_vertex, use_pallas=True
+                    scene, cfg, o, d, tm, th, alive, k_vertex,
+                    use_pallas=True, recompute_t=False,  # forward-only drain
                 )
                 sr = sr + vx.radiance_add  # masked by `alive`
                 dp = dp + 1
@@ -558,10 +569,16 @@ def trace_regen_diff(
     n_iters: int,  # STATIC iteration count (see below)
     key,
     cfg: TraceConfig,
-    use_pallas: bool = False,
+    use_pallas: bool = True,
     spp_par: Optional[int] = None,  # lanes per pixel (enables pooled sched)
 ):
     """Differentiable path regeneration -> ``(radiance (3, N), done i32[N])``.
+
+    ``use_pallas``: BVH scenes route traversal through the packet kernels
+    even under reverse-mode — the kernel runs under stop_gradient to pick
+    the winner and closest_hit recomputes the winner's hit distance
+    differentiably from its leaf row (material/texture/camera gradients
+    are exact; geometry-table gradients need ``use_pallas=False``).
 
     The round-3 fwd+bwd bottleneck was not the VJP (a normal ~3.5x bwd/fwd)
     but the :func:`trace` forward itself: every one of ``max_depth`` scan

@@ -181,8 +181,11 @@ def regen_iters_estimate(
         return_iters=True,
         spp_par=spp_par,
     )
+    # trace_regen's iteration count excludes its narrow drain phase; the
+    # differentiable scan runs the drain at full width, so budget a full
+    # max_depth for the longest surviving paths on top of the margin
     bound = spp_seq * cfg.max_depth + 1
-    return min(int(int(iters) * margin) + slack, bound)
+    return min(int(int(iters) * margin) + slack + cfg.max_depth, bound)
 
 
 _render_batch_jit = jax.jit(

@@ -95,6 +95,42 @@ def test_regen_diff_albedo_gradient_finite_difference():
     assert g[0, floor_tex] > 0
 
 
+def test_albedo_gradient_through_bvh_scene_finite_difference():
+    """Gradients through an ACCELERATED scene (cluster-tree traversal):
+    the lockstep walk's while_loop is not reverse-differentiable, so
+    closest_hit stop-grads the discrete winner search and recomputes the
+    winner's hit distance differentiably (r4).  FD-verify albedo through
+    the scan integrator on a 64-triangle tree scene — before r4 this
+    raised ValueError (latent: every earlier grad test was dense-only)."""
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    light = b.rect_xz(-3, 3, -3, 3, 10.0, b.diffuse_light((6.0, 6.0, 6.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    mat = b.lambertian((0.6, 0.5, 0.4))
+    for _ in range(64):
+        c = rng.uniform(-6, 6, 3) * np.array([1.0, 0.2, 1.0])
+        b.triangle(c, c + rng.uniform(-2, 2, 3), c + rng.uniform(-2, 2, 3), mat)
+    scene = b.finalize(bvh_threshold=16, cluster_size=32)
+    assert scene.use_bvh
+    cam = make_camera((0, 8, -10), (0, 0, 0), (0, 1, 0), 45, 1.0)
+    cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
+    tri_tex = int(scene.materials.tex[int(np.argmax(np.asarray(scene.materials.kind) == 0))])
+
+    def f(color_table):
+        s = scene.replace(textures=scene.textures.replace(color=color_table))
+        img = render_batch(s, cam, KEY, 12, 12, 32, cfg)
+        return jnp.mean(img) / 32
+
+    c0 = scene.textures.color
+    g = np.asarray(jax.grad(f)(c0))
+    assert np.isfinite(g).all() and g[0, tri_tex] > 0
+    eps = 1e-2
+    e = jnp.zeros_like(c0).at[0, tri_tex].set(eps)
+    fd = (float(f(c0 + e)) - float(f(c0 - e))) / (2 * eps)
+    np.testing.assert_allclose(g[0, tri_tex], float(fd), rtol=2e-2, atol=1e-5)
+
+
 def test_camera_gradient_finite_difference():
     """Camera lookfrom gradient vs central finite differences (VERDICT r3
     item 6: an FD assertion, not just finite+nonzero).

@@ -46,13 +46,17 @@ def perlin_noise(tt: TextureTable, p: jnp.ndarray) -> jnp.ndarray:
 
     from .tables import take_cols
 
-    # per-axis permutation lookups: one one-hot contraction per axis/offset
-    # (per-ray gathers from the 256-entry tables are the TPU anti-pattern)
-    # perm values are 0..255: exactly representable in one bf16 pass
-    perm = [
-        [take_cols(tt.perlin_perm[a], (ijk[a] + off) & 255, passes=1) for off in range(2)]
-        for a in range(3)
-    ]
+    # per-axis permutation lookups: ONE one-hot contraction per axis fetches
+    # BOTH offsets — row 1 of the stacked table is the rolled permutation,
+    # so perm[i] and perm[(i+1)&255] ride the same dot (the one-hot build
+    # over (256, N) is the dominant cost of these fetches, 6 -> 3 per
+    # octave).  Per-ray gathers from the 256-entry tables are the TPU
+    # anti-pattern; perm values are 0..255, exact in one bf16 pass.
+    perm = []
+    for a in range(3):
+        stacked = jnp.stack([tt.perlin_perm[a], jnp.roll(tt.perlin_perm[a], -1)])
+        both = take_cols(stacked, ijk[a] & 255, passes=1)  # (2, N)
+        perm.append([both[0], both[1]])
     accum = jnp.zeros_like(p[0])
     for di in range(2):
         for dj in range(2):

@@ -409,7 +409,7 @@ class SceneBuilder:
     def finalize(
         self,
         bvh_threshold: int = 512,
-        cluster_size: int = 128,
+        cluster_size: int = 256,  # 256 beat 128 by ~4% on final_scene's walks
         bvh8_kinds: Optional[tuple] = None,
     ) -> SceneData:
         """Compile to flat device arrays.

@@ -58,6 +58,8 @@ def _sync(out):
 
 
 def _median_time(fn, key, reps=5):
+    """(median, min, max) wall time over ``reps`` runs (tunnel-day variance
+    makes a point sample unmeasurable below ~10%; report the spread)."""
     _sync(fn(key))  # compile + warm
     times = []
     for i in range(reps):
@@ -66,12 +68,14 @@ def _median_time(fn, key, reps=5):
         _sync(fn(k))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    return times[len(times) // 2], times[0], times[-1]
 
 
 def forward_mpaths(
     scene_name: str, w: int, h: int, spp_par: int, spp_seq: int, key, pool=None
 ):
+    """-> ((median, max, min) Mpaths/s, scene bundle).  Throughput order is
+    median/max/min because faster time = higher paths/s."""
     bundle = SCENES[scene_name]()
     cam = make_camera(**bundle.camera_kwargs)
     cfg = RenderConfig(width=w, height=h, max_depth=50, background=bundle.background)
@@ -81,8 +85,9 @@ def forward_mpaths(
             bundle.scene, cam, k, w, h, spp_par, spp_seq, tcfg, pool=pool
         )
     )
-    t = _median_time(fn, key)
-    return w * h * spp_par * spp_seq / t / 1e6, bundle
+    t_med, t_min, t_max = _median_time(fn, key)
+    paths = w * h * spp_par * spp_seq / 1e6
+    return (paths / t_med, paths / t_min, paths / t_max), bundle
 
 
 def main():
@@ -99,15 +104,19 @@ def main():
     # representative regime.
 
     # --- book3 cornell (headline): 256x256, 128 spp
-    book3, cornell = forward_mpaths("cornell_box", 256, 256, 2, 64, key)
+    (book3, b3_hi, b3_lo), cornell = forward_mpaths("cornell_box", 256, 256, 2, 64, key)
     out["book3_Mpaths_s"] = round(book3, 2)
+    out["book3_spread"] = [round(b3_lo, 2), round(b3_hi, 2)]
 
     # --- book1 random_scene, book2 final_scene, OBJ wwscene: 128x128, 256 spp
-    out["book1_Mpaths_s"] = round(forward_mpaths("random_scene", 128, 128, 2, 128, key)[0], 2)
-    out["book2_Mpaths_s"] = round(forward_mpaths("final_scene", 128, 128, 8, 32, key)[0], 2)
-    out["obj_Mpaths_s"] = round(
-        forward_mpaths("wwscene", 128, 128, 4, 64, key, pool=True)[0], 2
-    )
+    for field, args in (
+        ("book1", ("random_scene", 128, 128, 2, 128, key)),
+        ("book2", ("final_scene", 128, 128, 8, 32, key)),
+        ("obj", ("wwscene", 128, 128, 4, 64, key, True)),
+    ):
+        (med, hi, lo), _ = forward_mpaths(*args)
+        out[f"{field}_Mpaths_s"] = round(med, 2)
+        out[f"{field}_spread"] = [round(lo, 2), round(hi, 2)]
 
     # --- fwd+bwd (headline secondary): differentiable REGEN integrator on
     # cornell, 64 spp — the production differentiable path (material +
@@ -136,7 +145,7 @@ def main():
             scene.materials.param, scene.textures.color, k
         )
     )
-    t_fb = _median_time(fwd_bwd, key, reps=3)
+    t_fb = _median_time(fwd_bwd, key, reps=3)[0]
     out["fwd_bwd_paths_per_s"] = round(W * H * SPP / t_fb, 1)
     out["fwd_bwd_regen_iters"] = n_iters
 
@@ -159,7 +168,7 @@ def main():
     fwd_bwd_ww = jax.jit(
         lambda k: jax.value_and_grad(loss_ww)(ww.scene.textures.color, k)
     )
-    t_ww = _median_time(fwd_bwd_ww, key, reps=2)
+    t_ww = _median_time(fwd_bwd_ww, key, reps=2)[0]
     out["fwd_bwd_obj_paths_per_s"] = round(128 * 128 * 32 / t_ww, 1)
 
     # legacy comparison: the full-width scan integrator (round 1-3 metric)
@@ -175,7 +184,7 @@ def main():
             scene.materials.param, scene.textures.color, k
         )
     )
-    t_fbs = _median_time(fwd_bwd_scan, key, reps=2)
+    t_fbs = _median_time(fwd_bwd_scan, key, reps=2)[0]
     out["fwd_bwd_scan_paths_per_s"] = round(W * H * SPP / t_fbs, 1)
 
     # --- config 5: one full fit step (render + MSE + backprop + SGD)
@@ -199,6 +208,7 @@ def main():
                 "value": round(book3 * 1e6, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(book3 * 1e6 / REF_CPU_PATHS_PER_S, 3),
+                "vs_baseline_estimate": True,  # the reference publishes no numbers; 1 Mpaths/s is a generous CPU estimate
                 **out,
             }
         )

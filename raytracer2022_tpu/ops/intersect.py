@@ -952,10 +952,26 @@ def closest_hit(
         # the lockstep walk's while_loop is not reverse-differentiable);
         # this reconnects t to the ray/camera gradients they cut.
         if win_rows is not None:
+            # The kernel's leaf rows are host-baked CONSTANTS: using them
+            # here would cut gradients w.r.t. the geometry tables (sphere
+            # centers/radii sphere.rs:11-19, triangle vertices
+            # triangle.rs:22-35).  Re-fetch the winner's param row from
+            # scene.params (numerically identical — leaf rows were baked
+            # from the same table) so d(t)/d(geometry) flows; the fetched
+            # rows are also grafted into win_rows below so hit_details'
+            # normals/uvs carry geometry gradients too.  BVH8 trees hold
+            # identity-transform prims only, so no xform fetch is needed.
             from .bvh8 import COL_KIND
+            from .tables import take_cols
 
             kind_w = jnp.round(win_rows[COL_KIND]).astype(jnp.int32)
-            p_w = win_rows  # leaf rows carry the full param row; identity xf
+            npar = scene.params.shape[0]
+            pid_w = jnp.clip(best, 0, brute_lo - 1)  # only tree winners used
+            p_w = take_cols(scene.params[:, :brute_lo], pid_w)
+            is_tree_w = best < brute_lo
+            win_rows = win_rows.at[:npar].set(
+                jnp.where(is_tree_w[None], p_w, win_rows[:npar])
+            )
             oo_w, od_w = o, d
         else:
             from .tables import take_cols_multi

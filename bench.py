@@ -128,7 +128,9 @@ def main():
     tcfg = cfg.trace_cfg()
     scene = cornell.scene
     cam = make_camera(**cornell.camera_kwargs)
-    n_iters = regen_iters_estimate(scene, cam, W, H, SPP_PAR, SPP_SEQ, tcfg)
+    n_iters, n_drain = regen_iters_estimate(
+        scene, cam, W, H, SPP_PAR, SPP_SEQ, tcfg, split_drain=True
+    )
 
     def loss_fn(mat_param, tex_color, k):
         s = scene.replace(
@@ -136,7 +138,7 @@ def main():
             textures=scene.textures.replace(color=tex_color),
         )
         img, cnt = render_batch_regen_diff(
-            s, cam, k, W, H, SPP_PAR, SPP_SEQ, n_iters, tcfg
+            s, cam, k, W, H, SPP_PAR, SPP_SEQ, n_iters, tcfg, n_drain=n_drain
         )
         return jnp.mean(img / jnp.maximum(cnt, 1)[None])
 
@@ -156,12 +158,14 @@ def main():
     ww_cam = make_camera(**ww.camera_kwargs)
     ww_cfg = RenderConfig(width=128, height=128, max_depth=50, background=ww.background)
     ww_tcfg = ww_cfg.trace_cfg()
-    ww_iters = regen_iters_estimate(ww.scene, ww_cam, 128, 128, 4, 8, ww_tcfg)
+    ww_iters, ww_drain = regen_iters_estimate(
+        ww.scene, ww_cam, 128, 128, 4, 8, ww_tcfg, split_drain=True
+    )
 
     def loss_ww(tex_color, k):
         s = ww.scene.replace(textures=ww.scene.textures.replace(color=tex_color))
         img, cnt = render_batch_regen_diff(
-            s, ww_cam, k, 128, 128, 4, 8, ww_iters, ww_tcfg
+            s, ww_cam, k, 128, 128, 4, 8, ww_iters, ww_tcfg, n_drain=ww_drain
         )
         return jnp.mean(img / jnp.maximum(cnt, 1)[None])
 

@@ -561,6 +561,72 @@ def trace_regen(
     return radiance
 
 
+def measure_regen_handoff(
+    scene: SceneData,
+    gen_rays,
+    pix0: jnp.ndarray,
+    spp_seq: int,
+    key,
+    cfg: TraceConfig,
+    spp_par: int,
+    frac: int = 4,
+) -> jnp.ndarray:
+    """Forward-run the PER-PIXEL-pooled regeneration schedule (exactly what
+    :func:`trace_regen_diff` replays) and return the iteration at which at
+    most ``n/frac`` lanes are still alive — the narrow-drain handoff point.
+    :func:`renderer.regen_iters_estimate` measures the GLOBAL-pool
+    while_loop instead, which drains faster than the pixel-bound
+    reservation the differentiable scan uses (measured on cornell (2,32):
+    global pool 80 iters vs pixel pool ~88 to N/4), so the drain budget
+    needs this schedule-faithful measurement.
+
+    A lane idles only when its own pixel's pool is empty, so alive <=
+    n/frac implies all but the hardest pixels' pools have drained; the
+    trickle still unserved at handoff (measured 0.3% of samples on
+    cornell) is simply never started, and the ``done``-normalized
+    estimator absorbs it — waiting for a FULLY empty pool would cost
+    ~15 more full-width iterations for that 0.3%."""
+    n = pix0.shape[0]
+    n2 = max(n // frac, 1)
+    o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix0)
+    work0 = (
+        jnp.ones((n,), dtype=bool),
+        jnp.full((n // spp_par,), spp_par * (spp_seq - 1), dtype=jnp.int32),
+    )
+    max_iter = (spp_seq + 1) * cfg.max_depth + 2
+
+    def cond(state):
+        it, _, _, _, depth, work = state
+        alive, _ = work
+        return (it < max_iter) & (jnp.sum(alive) > n2)
+
+    def body(state):
+        it, o, d, tm, depth, work = state
+        alive, remaining = work
+        k_vertex, k_regen = jax.random.split(jax.random.fold_in(key, it + 1))
+        vx = _eval_vertex(
+            scene, cfg, o, d, tm, jnp.ones((3, n)), alive, k_vertex,
+            use_pallas=True, recompute_t=False,
+        )
+        depth = depth + 1
+        cont = vx.cont & (depth < cfg.max_depth)
+        start, remaining = _pool_reserve(
+            (alive & ~cont) | ~alive, remaining, spp_par
+        )
+        o_new, d_new, tm_new = gen_rays(k_regen, pix0)
+        regen = start[None]
+        o = jnp.where(regen, o_new, jnp.where(cont[None], vx.o, o))
+        d = jnp.where(regen, d_new, jnp.where(cont[None], vx.d, d))
+        tm = jnp.where(start, tm_new, jnp.where(cont, vx.tm, tm))
+        depth = jnp.where(start, 0, depth)
+        return (it + 1, o, d, tm, depth, (cont | start, remaining))
+
+    state = (
+        jnp.int32(0), o0, d0, tm0, jnp.zeros((n,), dtype=jnp.int32), work0,
+    )
+    return jax.lax.while_loop(cond, body, state)[0]
+
+
 def trace_regen_diff(
     scene: SceneData,
     gen_rays,  # (sample_key, pix i32[N]) -> (o (3,N), d (3,N), tm (N,))
@@ -571,6 +637,7 @@ def trace_regen_diff(
     cfg: TraceConfig,
     use_pallas: bool = True,
     spp_par: Optional[int] = None,  # lanes per pixel (enables pooled sched)
+    drain_iters: int = 0,  # narrow (N/4) drain scan after the pooled phase
 ):
     """Differentiable path regeneration -> ``(radiance (3, N), done i32[N])``.
 
@@ -607,6 +674,21 @@ def trace_regen_diff(
     and the regeneration schedule itself) are piecewise-constant in the
     parameters, so reverse-mode yields the same reparameterized path-replay
     gradients as :func:`trace` (reference semantics: main.rs:233-278).
+
+    **Narrow drain** (``drain_iters > 0``, pooled mode): once the pool
+    drains, no lane regenerates, so occupancy decays toward the last
+    surviving paths while every scan step still pays full width — the r4
+    trip-count budget added a whole ``max_depth`` of such full-width
+    iterations.  Instead, ``n_iters`` should budget only the pooled phase
+    (see :func:`renderer.regen_iters_estimate` with ``split_drain=True``);
+    the survivors are then compacted into an N/4 wavefront (a differentiable
+    ``take`` at stop-gradient indices) and finished by a second
+    ``drain_iters``-step scan whose contributions scatter-add back to their
+    original lanes (unique indices; the VJP is a plain gather).  Survivors
+    beyond the N/4 width — or still alive after the drain — contribute
+    nothing and are excluded from ``done``, exactly like truncation at
+    ``n_iters`` in the single-phase form: the ``done``-normalized estimator
+    stays consistent.
     """
     o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix0)
     n = tm0.shape[0]
@@ -675,4 +757,71 @@ def trace_regen_diff(
         jax.checkpoint(body), carry, jnp.arange(n_iters, dtype=jnp.int32)
     )
     radiance, done = carry[5], carry[6]
+
+    if pooled and drain_iters > 0:
+        o, d, tm, throughput, sample_rad = carry[0], carry[1], carry[2], carry[3], carry[4]
+        depth, alive = carry[7], carry[8][0]
+        # Cascade: occupancy keeps decaying through the drain (measured on
+        # cornell (2,32): N/4 alive at handoff -> ~1% within 8 iterations),
+        # so after a short N/4 stage the remaining iterations run at N/16.
+        if n >= 16 * 1024:
+            stages = [(n // 4, min(8, drain_iters)), (n // 16, max(drain_iters - 8, 0))]
+        else:
+            stages = [(max(n // 4, 1), drain_iters)]
+        gperm = jnp.arange(n, dtype=jnp.int32)  # compacted -> original lane
+        cur = (o, d, tm, throughput, sample_rad, alive, depth)
+        it_off = n_iters
+        for n2, iters in stages:
+            if iters == 0:
+                continue
+            o, d, tm, throughput, sample_rad, alive, depth = cur
+            # compaction indices are discrete (stop-gradient by
+            # construction: argsort of a bool mask); the VALUES ride a
+            # differentiable take, and contributions scatter-add back to
+            # the ORIGINAL lanes (unique indices; VJP = gather)
+            perm = jnp.argsort(~alive, stable=True)[:n2]
+            gperm = jnp.take(gperm, perm)
+
+            def take(x):
+                return jnp.take(x, perm, axis=-1)
+
+            alive2 = take(alive)
+            base = it_off  # python int captured per stage
+
+            def drain_body(c, it2, _base=base):
+                o, d, tm, th, sr, alive, dp = c
+                # continue the pooled phase's per-iteration key counter
+                k_vertex, _ = jax.random.split(
+                    jax.random.fold_in(key, _base + it2 + 1)
+                )
+                vx = _eval_vertex(
+                    scene, cfg, o, d, tm, th, alive, k_vertex, use_pallas=use_pallas
+                )
+                sr = sr + vx.radiance_add  # masked by `alive`
+                dp = dp + 1
+                cont = vx.cont & (dp < cfg.max_depth)  # cont implies alive
+                o = jnp.where(cont[None], vx.o, o)
+                d = jnp.where(cont[None], vx.d, d)
+                tm = jnp.where(cont, vx.tm, tm)
+                th = jnp.where(cont[None], vx.throughput, th)
+                return (o, d, tm, th, sr, cont, dp), None
+
+            c0 = (
+                take(o),
+                take(d),
+                take(tm),
+                take(throughput),
+                take(sample_rad),
+                alive2,
+                take(depth),
+            )
+            cF, _ = jax.lax.scan(
+                jax.checkpoint(drain_body), c0, jnp.arange(iters, dtype=jnp.int32)
+            )
+            sr_end, alive_end = cF[4], cF[5]
+            fin = alive2 & ~alive_end  # sample completed inside this stage
+            radiance = radiance.at[:, gperm].add(jnp.where(fin[None], sr_end, 0.0))
+            done = done.at[gperm].add(fin.astype(done.dtype))
+            cur = cF
+            it_off += iters
     return radiance, done

@@ -128,6 +128,7 @@ def render_batch_regen_diff(
     spp_seq: int,  # samples each lane completes sequentially
     n_iters: int,  # static regen-scan trip count (see trace_regen_diff)
     cfg: TraceConfig,
+    n_drain: int = 0,  # narrow-drain trip count (see trace_regen_diff)
 ):
     """Differentiable regen render -> ``((3, H, W) radiance sum over
     COMPLETED samples, (H, W) i32 completed-sample counts)``.
@@ -143,7 +144,8 @@ def render_batch_regen_diff(
     k_trace = jax.random.fold_in(key, 0x5EED)
     gen_rays = _regen_gen_rays(camera, width, height, n)
     radiance, done = trace_regen_diff(
-        scene, gen_rays, pix0, spp_seq, n_iters, k_trace, cfg, spp_par=spp_par
+        scene, gen_rays, pix0, spp_seq, n_iters, k_trace, cfg, spp_par=spp_par,
+        drain_iters=n_drain,
     )
     img = jnp.sum(radiance.reshape(3, spp_par, height, width), axis=1)
     counts = jnp.sum(done.reshape(spp_par, height, width), axis=0)
@@ -161,16 +163,44 @@ def regen_iters_estimate(
     key=None,
     margin: float = 1.3,
     slack: int = 8,
-) -> int:
+    split_drain: bool = False,
+):
     """Measure the regen iteration count one forward run actually needed and
     return ``ceil(measured * margin) + slack`` (clamped to the exact bound
     ``spp_seq * max_depth + 1``).  One cheap forward launch; use the result
     as the static ``n_iters`` of :func:`render_batch_regen_diff` so the
-    differentiable scan pays only the iterations the workload needs."""
+    differentiable scan pays only the iterations the workload needs.
+
+    ``split_drain=True`` returns ``(n_iters, n_drain)`` for the two-phase
+    differentiable integrator: the pooled phase budgets the measured
+    HANDOFF point of the pixel-pooled schedule itself (pool empty and
+    survivors <= N/4, via :func:`integrator.measure_regen_handoff` — the
+    global-pool measurement below drains faster and would overshoot), and
+    the stragglers finish in the narrow drain cascade of up to
+    ``max_depth`` steps — the full-width equivalents drop by ~0.75 *
+    max_depth per launch (cornell (2,32): 162 -> ~105)."""
+    from .integrator import measure_regen_handoff
+
     key = jax.random.PRNGKey(0) if key is None else key
     n = height * width * spp_par
     pix0 = jnp.arange(n, dtype=jnp.int32) % (height * width)
     gen_rays = _regen_gen_rays(camera, width, height, n)
+    bound = spp_seq * cfg.max_depth + 1
+    if split_drain:
+        iters = measure_regen_handoff(
+            scene,
+            gen_rays,
+            pix0,
+            spp_seq,
+            jax.random.fold_in(key, 0x5EED),
+            cfg,
+            spp_par=spp_par,
+        )
+        # tighter margin than the single-phase form: the drain cascade is
+        # the safety net for schedule variance across keys, so the pooled
+        # phase only needs to cover pool-drain jitter
+        main = min(int(int(iters) * 1.08) + slack // 2 + 1, bound)
+        return main, cfg.max_depth
     _, iters = trace_regen(
         scene,
         gen_rays,
@@ -181,10 +211,9 @@ def regen_iters_estimate(
         return_iters=True,
         spp_par=spp_par,
     )
-    # trace_regen's iteration count excludes its narrow drain phase; the
-    # differentiable scan runs the drain at full width, so budget a full
-    # max_depth for the longest surviving paths on top of the margin
-    bound = spp_seq * cfg.max_depth + 1
+    # single-phase form: trace_regen's iteration count excludes its narrow
+    # drain phase; the one-scan differentiable integrator runs that drain
+    # at full width, so budget a full max_depth for the longest survivors
     return min(int(int(iters) * margin) + slack + cfg.max_depth, bound)
 
 

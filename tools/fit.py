@@ -100,14 +100,16 @@ def main(argv=None) -> int:
 
         spp_par = max(1, args.spp // 8)
         spp_seq = -(-args.spp // spp_par)
-        n_iters = regen_iters_estimate(
-            scene, cam, args.size, args.size, spp_par, spp_seq, tcfg
+        n_iters, n_drain = regen_iters_estimate(
+            scene, cam, args.size, args.size, spp_par, spp_seq, tcfg,
+            split_drain=True,
         )
 
         def loss_fn(color, k):
             s = scene.replace(textures=scene.textures.replace(color=color))
             img, cnt = render_batch_regen_diff(
-                s, cam, k, args.size, args.size, spp_par, spp_seq, n_iters, tcfg
+                s, cam, k, args.size, args.size, spp_par, spp_seq, n_iters,
+                tcfg, n_drain=n_drain,
             )
             return jnp.mean((img / jnp.maximum(cnt, 1)[None] - target) ** 2)
 

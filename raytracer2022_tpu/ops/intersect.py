@@ -26,7 +26,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..scene.types import MEDIUM, MSPHERE, RECT, RING, SPHERE, TRIANGLE, SceneData
+from ..scene.types import BOX, MEDIUM, MSPHERE, RECT, RING, SPHERE, TRIANGLE, SceneData
 from .vecmath import cross, dot, masked_sqrt, safe_div, scale, to_unit, vec3
 
 INF = jnp.inf
@@ -207,6 +207,38 @@ def _ring_t(p, o, d, t_min, t_max):
     return jnp.where(valid, t, INF)
 
 
+def _box_t(p, o, d, t_min, t_max):
+    """Axis-aligned box slab test ≡ closest hit over the 6 face rects the
+    reference builds per box (boxes.rs:23-66, faces tested via aarect.rs).
+
+    Entry face = slab near plane, exit face = slab far plane; if the entry
+    lies before ``t_min`` (ray starts inside) the exit face wins — exactly
+    the rect-list behavior.  Winning-face t is the same ``(k - o_a)/d_a``
+    the rect kernel computes, so radiance is bit-identical up to FP
+    reassociation.  d_a == 0 uses IEEE inf like the cluster slab test
+    (aabb.rs:15-32); a ray lying exactly ON a face plane yields NaN -> miss
+    (the rect version accepts the boundary; measure-zero discrepancy).
+    """
+    inv0 = 1.0 / d[0]
+    inv1 = 1.0 / d[1]
+    inv2 = 1.0 / d[2]
+    a0 = (p[0] - o[0]) * inv0
+    b0 = (p[3] - o[0]) * inv0
+    a1 = (p[1] - o[1]) * inv1
+    b1 = (p[4] - o[1]) * inv1
+    a2 = (p[2] - o[2]) * inv2
+    b2 = (p[5] - o[2]) * inv2
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(a0, b0), jnp.minimum(a1, b1)), jnp.minimum(a2, b2)
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(a0, b0), jnp.maximum(a1, b1)), jnp.maximum(a2, b2)
+    )
+    t = jnp.where(near >= t_min, near, far)
+    valid = (far >= near) & (t >= t_min) & (t <= t_max)
+    return jnp.where(valid, t, INF)
+
+
 def _t_for_kind(k: int, p, o, d, tm, t_min, t_max):
     """Single-kind candidate t (k is a static Python int)."""
     if k == SPHERE:
@@ -219,6 +251,8 @@ def _t_for_kind(k: int, p, o, d, tm, t_min, t_max):
         return _tri_t(p, o, d, t_min, t_max)
     if k == RING:
         return _ring_t(p, o, d, t_min, t_max)
+    if k == BOX:
+        return _box_t(p, o, d, t_min, t_max)
     # MEDIUM rows yield +inf here; they are resolved by ``_medium_t``
     return jnp.broadcast_to(
         INF, jnp.broadcast_shapes(o.shape[1:], jnp.shape(t_min), jnp.shape(t_max))
@@ -232,7 +266,7 @@ def _t_switch(kind, p, o, d, tm, t_min, t_max, kinds=None):
     kinds cost nothing (the scene compiler records scene.stats.kinds_present
     so e.g. a rect-only Cornell box never evaluates sphere/triangle math).
     """
-    kinds = [k for k in (kinds or (SPHERE, MSPHERE, RECT, TRIANGLE, RING)) if k != MEDIUM]
+    kinds = [k for k in (kinds or (SPHERE, MSPHERE, RECT, TRIANGLE, RING, BOX)) if k != MEDIUM]
     shape = jnp.broadcast_shapes(jnp.shape(kind), o.shape[1:])
     t = jnp.broadcast_to(INF, shape)
     for k in kinds:
@@ -399,7 +433,7 @@ def _medium_t(
 
 # per-kind param-row count needed by the closest-hit t formulas (full rows —
 # e.g. triangle uvs — are only fetched in hit_details for the winner)
-NPARAM_T = {SPHERE: 4, MSPHERE: 9, RECT: 6, TRIANGLE: 9, RING: 4}
+NPARAM_T = {SPHERE: 4, MSPHERE: 9, RECT: 6, TRIANGLE: 9, RING: 4, BOX: 6}
 
 
 def traverse_clusters(
@@ -661,7 +695,7 @@ def hit_details(
 
     pt = oo + scale(od, t_best)  # object-space hit point
 
-    kinds = scene.stats.kinds_present or (SPHERE, MSPHERE, RECT, TRIANGLE, RING, MEDIUM)
+    kinds = scene.stats.kinds_present or (SPHERE, MSPHERE, RECT, TRIANGLE, RING, MEDIUM, BOX)
     zeros = jnp.zeros_like(t_best)
     ones = jnp.ones_like(t_best)
     k = kind[None]
@@ -732,6 +766,43 @@ def hit_details(
     if RING in kinds:
         # ring (ring.rs:48-51): +y normal, uv left at 0
         outward = jnp.where((kind == RING)[None], vec3(zeros, ones, zeros), outward)
+
+    if BOX in kinds:
+        # box (boxes.rs via aarect.rs): identify the winning face by
+        # recomputing the 6 face-plane t's with the same arithmetic as
+        # _box_t — the winner matches t_best exactly, so the argmin of
+        # |t_face - t| picks its axis.  Outward normal and uv are then the
+        # winning face rect's (normal +e_axis before set_face_normal;
+        # uv from the two in-plane axes' extents).
+        bo_inv = (1.0 / od[0], 1.0 / od[1], 1.0 / od[2])
+        errs = []
+        for a in range(3):
+            t_lo = (p[a] - oo[a]) * bo_inv[a]
+            t_hi = (p[3 + a] - oo[a]) * bo_inv[a]
+            errs.append(
+                jnp.minimum(jnp.abs(t_best - t_lo), jnp.abs(t_best - t_hi))
+            )
+        err3 = jnp.stack(errs)  # (3, N); NaNs (parallel axes) lose argmin
+        err3 = jnp.where(jnp.isnan(err3), INF, err3)
+        ka_box = jnp.argmin(err3, axis=0).astype(jnp.int32)
+        a_axis, b_axis = _rect_axes(ka_box)
+        lo3 = vec3(p[0], p[1], p[2])
+        hi3 = vec3(p[3], p[4], p[5])
+        av = _axis_select(pt, a_axis)
+        bv = _axis_select(pt, b_axis)
+        a0 = _axis_select(lo3, a_axis)
+        a1 = _axis_select(hi3, a_axis)
+        b0 = _axis_select(lo3, b_axis)
+        b1 = _axis_select(hi3, b_axis)
+        n_box = vec3(
+            jnp.where(ka_box == 0, ones, zeros),
+            jnp.where(ka_box == 1, ones, zeros),
+            jnp.where(ka_box == 2, ones, zeros),
+        )
+        is_box = kind == BOX
+        outward = jnp.where(is_box[None], n_box, outward)
+        u = jnp.where(is_box, safe_div(av - a0, a1 - a0), u)
+        v = jnp.where(is_box, safe_div(bv - b0, b1 - b0), v)
 
     # medium (constantmedium.rs:69-76) keeps the (1,0,0) default normal
 

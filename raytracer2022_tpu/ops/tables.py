@@ -92,6 +92,42 @@ def take_cols(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.ndar
     return _restore_dtype(onehot_matmul(table, idx, passes=passes), table.dtype)
 
 
+def take_cols_nib(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
+    """``table[..., 256]`` gathered at ``idx[N]`` via NIBBLE-factored
+    one-hots -> ``[..., N]``.
+
+    The (256, N) one-hot compare build dominates ``take_cols`` when the
+    table has few rows (perlin: 11 such fetches per octave were the top
+    texture cost, BASELINE.md stage table).  Factoring idx = hi*16 + lo
+    replaces it with two (16, N) builds: step 1 contracts the lo nibble on
+    the MXU for every hi slice at once (same FLOPs, 8x fewer compare ops);
+    step 2 selects the hi slice with a 0/1 multiply-sum on the VPU
+    (C*16 FMAs/lane).  Build cost per fetch: 256N -> 32N compares.
+
+    Exactness matches ``take_cols``: both one-hots are 0/1 (exact in bf16),
+    step 1's hi/lo bf16 table split reconstructs the entry exactly for a
+    one-hot rhs, and step 2 multiplies by exact 0.0/1.0 in f32 — so perlin
+    stays bit-identical to its oracle.
+    """
+    k = table.shape[-1]
+    assert k == 256, k
+    n = idx.shape[-1]
+    if not _use_onehot(k, n):
+        return jnp.take(table, idx, axis=-1)
+    if jnp.issubdtype(table.dtype, jnp.integer) or table.dtype == jnp.bool_:
+        passes = min(passes, 2)
+    hi = (idx >> 4).astype(idx.dtype)
+    lo = (idx & 15).astype(idx.dtype)
+    flat = table.reshape(-1, 16, 16).astype(jnp.float32)  # (C, hi, lo)
+    part = onehot_dot(flat.reshape(-1, 16), onehot(lo, 16), passes=passes)
+    part = part.reshape(-1, 16, n)  # (C, hi, N)
+    oh_hi = (idx[None, :] >> 4 == jnp.arange(16, dtype=idx.dtype)[:, None]).astype(
+        jnp.float32
+    )  # (16, N)
+    out = jnp.sum(part * oh_hi[None], axis=1)  # (C, N)
+    return _restore_dtype(out.reshape(*table.shape[:-1], n), table.dtype)
+
+
 def take_cols_multi(tables, idx: jnp.ndarray, passes: int = 3):
     """Gather several ``[..., K]`` tables at the same ``idx`` in ONE dot.
 

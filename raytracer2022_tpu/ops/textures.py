@@ -44,18 +44,20 @@ def perlin_noise(tt: TextureTable, p: jnp.ndarray) -> jnp.ndarray:
     uvw2 = _hermite(uvw1)  # double-smoothed weights (uu,vv,ww)
     ijk = fl.astype(jnp.int32)  # (3, N)
 
-    from .tables import take_cols
+    from .tables import take_cols_nib
 
-    # per-axis permutation lookups: ONE one-hot contraction per axis fetches
-    # BOTH offsets — row 1 of the stacked table is the rolled permutation,
-    # so perm[i] and perm[(i+1)&255] ride the same dot (the one-hot build
-    # over (256, N) is the dominant cost of these fetches, 6 -> 3 per
-    # octave).  Per-ray gathers from the 256-entry tables are the TPU
-    # anti-pattern; perm values are 0..255, exact in one bf16 pass.
+    # per-axis permutation lookups: ONE nibble-factored contraction per
+    # axis fetches BOTH offsets — row 1 of the stacked table is the rolled
+    # permutation, so perm[i] and perm[(i+1)&255] ride the same dot.
+    # Per-ray gathers from the 256-entry tables are the TPU anti-pattern;
+    # the (256, N) one-hot builds those fetches need were the dominant
+    # texture cost, so all perlin fetches use the 16x16 nibble
+    # factorization (take_cols_nib: 8x fewer compare ops, bit-identical).
+    # Perm values are 0..255, exact in one bf16 pass.
     perm = []
     for a in range(3):
         stacked = jnp.stack([tt.perlin_perm[a], jnp.roll(tt.perlin_perm[a], -1)])
-        both = take_cols(stacked, ijk[a] & 255, passes=1)  # (2, N)
+        both = take_cols_nib(stacked, ijk[a] & 255, passes=1)  # (2, N)
         perm.append([both[0], both[1]])
     accum = jnp.zeros_like(p[0])
     for di in range(2):
@@ -64,7 +66,7 @@ def perlin_noise(tt: TextureTable, p: jnp.ndarray) -> jnp.ndarray:
                 idx = perm[0][di] ^ perm[1][dj] ^ perm[2][dk]
                 # 2 bf16 passes keep ~16 mantissa bits of the gradient
                 # vectors — noise error ~1e-5, far below MC noise
-                g = take_cols(tt.perlin_vec, idx, passes=2)  # (3, N)
+                g = take_cols_nib(tt.perlin_vec, idx, passes=2)  # (3, N)
                 w0 = uvw1[0] - di
                 w1 = uvw1[1] - dj
                 w2 = uvw1[2] - dk

@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..scene.types import (
+    BOX,
     DIELECTRIC,
     DIFFUSE_LIGHT,
     ISOTROPIC,
@@ -251,18 +252,25 @@ class SceneBuilder:
         """YZRect (aarect.rs:179-260): x = k plane."""
         return self._rect(y0, y1, z0, z1, k, 0, mat)
 
-    def box(self, p0, p1, mat) -> list[int]:
-        """Boxes: 6 axis-rects (boxes.rs:23-66), in the reference's order."""
+    def box(self, p0, p1, mat, as_rects: bool = False) -> list[int]:
+        """Boxes (boxes.rs:23-66).  The reference lowers a box to 6 face
+        rects in a HittableList; their closest hit IS the box slab test,
+        so the compiler emits ONE fused BOX row by default (~6x cheaper to
+        test, identical winning-face t/normal/uv — ops/intersect._box_t).
+        ``as_rects=True`` keeps the literal 6-rect lowering (parity
+        testing / per-face material experiments)."""
         p0 = np.asarray(p0, dtype=float)
         p1 = np.asarray(p1, dtype=float)
-        return [
-            self.rect_xy(p0[0], p1[0], p0[1], p1[1], p1[2], mat),
-            self.rect_xy(p0[0], p1[0], p0[1], p1[1], p0[2], mat),
-            self.rect_xz(p0[0], p1[0], p0[2], p1[2], p1[1], mat),
-            self.rect_xz(p0[0], p1[0], p0[2], p1[2], p0[1], mat),
-            self.rect_yz(p0[1], p1[1], p0[2], p1[2], p1[0], mat),
-            self.rect_yz(p0[1], p1[1], p0[2], p1[2], p0[0], mat),
-        ]
+        if as_rects:
+            return [
+                self.rect_xy(p0[0], p1[0], p0[1], p1[1], p1[2], mat),
+                self.rect_xy(p0[0], p1[0], p0[1], p1[1], p0[2], mat),
+                self.rect_xz(p0[0], p1[0], p0[2], p1[2], p1[1], mat),
+                self.rect_xz(p0[0], p1[0], p0[2], p1[2], p0[1], mat),
+                self.rect_yz(p0[1], p1[1], p0[2], p1[2], p1[0], mat),
+                self.rect_yz(p0[1], p1[1], p0[2], p1[2], p0[0], mat),
+            ]
+        return [self._add_prim(BOX, [p0[0], p0[1], p0[2], p1[0], p1[1], p1[2]], mat)]
 
     def triangle(self, a, b, c, mat, uv: Optional[Sequence] = None) -> int:
         """Triangle (triangle.rs:22-35); ``uv`` = ((u1,v1),(u2,v2),(u3,v3))
@@ -357,8 +365,8 @@ class SceneBuilder:
                 p[3:6] = xf.apply_point(p[3:6])
                 p[6:9] = xf.apply_point(p[6:9])
                 self.xform_of[i] = _Xform()
-            # RECT/RING keep the xform (rotation breaks axis alignment);
-            # MEDIUM's geometry is its boundary prims.
+            # RECT/RING/BOX keep the xform (rotation breaks axis
+            # alignment); MEDIUM's geometry is its boundary prims.
 
     # --------------------------------------------------------------- bboxes
     def prim_bbox(self, i: int) -> tuple[np.ndarray, np.ndarray]:
@@ -390,6 +398,8 @@ class SceneBuilder:
             r = p[0] + p[1]
             lo = np.array([-r, -1e-4, -r])
             hi = np.array([r, 1e-4, r])
+        elif k == BOX:
+            lo, hi = p[0:3].copy(), p[3:6].copy()
         elif k == MEDIUM:
             b0, cnt = self.iparams[i]
             los, his = zip(*(self.prim_bbox(j) for j in range(b0, b0 + cnt)))

@@ -24,6 +24,14 @@ Primitive param slots (``params: f32[NPARAM, P]``):
   RING     (ring.rs)               0:r 1:t 2:dist_min 3:dist_max (squared)
   MEDIUM   (constantmedium.rs)     0:neg_inv_density;
                                    iparams 0:boundary_start 1:boundary_count
+  BOX      (boxes.rs, fused)       0-2: lo, 3-5: hi.  The reference lowers a
+                                   box to 6 face rects in a HittableList
+                                   (boxes.rs:23-66); the closest hit over
+                                   those 6 rects IS the box slab test, so
+                                   one BOX row replaces 6 RECT rows at ~1
+                                   rect's cost (winning-face t, normal and
+                                   uv are identical).  Rotated boxes carry
+                                   the usual world->object similarity.
 
 Instance wrappers ``Translate/RotateY/Zoom/FlipFace``
 (hittable/mod.rs:135-331) are baked per primitive: either directly into the
@@ -49,6 +57,7 @@ RECT = 2
 TRIANGLE = 3
 RING = 4
 MEDIUM = 5
+BOX = 6
 
 NPARAM = 16
 

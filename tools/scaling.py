@@ -85,6 +85,46 @@ def main(argv=None) -> int:
     t_sharded = sorted(ts)[1]
 
     speedup = t_single / t_sharded
+
+    # --- work-normalized per-chip probe (VERDICT r4 item 7): each virtual
+    # chip runs its own pooled-regen while_loop with a distinct seed fold;
+    # the per-chip ITERATION COUNT is the work a real chip would do, free
+    # of host-core timesharing.  Schedule variance across chips is what
+    # the wall-clock of a real N-chip launch pays (slowest chip wins), so
+    # the projected scaling efficiency is mean(iters)/max(iters).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from raytracer2022_tpu.render.integrator import trace_regen
+    from raytracer2022_tpu.render.renderer import _regen_gen_rays
+
+    spp_par, spp_seq = 2, SPP // (2 * n_dev)
+    n_lanes = W * H * spp_par
+    pix0 = jnp.arange(n_lanes, dtype=jnp.int32) % (W * H)
+    gen = _regen_gen_rays(cam, W, H, n_lanes)
+
+    def shard_iters(scene, key):
+        idx = jax.lax.axis_index("chips")
+        local_key = jax.random.fold_in(key, idx)
+        _, iters = trace_regen(
+            scene, gen, pix0, spp_seq, local_key, tcfg,
+            return_iters=True, spp_par=spp_par,
+        )
+        return jax.lax.all_gather(iters, "chips")
+
+    mesh2 = mesh
+    probe = jax.jit(
+        jax.shard_map(
+            shard_iters, mesh=mesh2, in_specs=(P(), P()), out_specs=P("chips"),
+            check_vma=False,
+        )
+    )
+    rep = NamedSharding(mesh2, P())
+    iters = jax.device_get(
+        probe(*jax.device_put((bundle.scene, key), rep))
+    ).reshape(n_dev, -1)[:, 0]
+    per_dev = [int(x) for x in iters]
+    mean_it = sum(per_dev) / n_dev
+
     cores = os.cpu_count() or 1
     print(
         json.dumps(
@@ -98,6 +138,13 @@ def main(argv=None) -> int:
                 # sharding = a speedup of min(n_dev, cores); the ratio is
                 # the parallel efficiency of the shard_map+psum pipeline
                 "parallel_efficiency": round(speedup / min(n_dev, cores), 3),
+                # measured per-chip schedule work (regen while_loop trips):
+                # a real N-chip launch finishes with the slowest chip, so
+                # mean/max is the work-normalized efficiency projection
+                "per_device_regen_iters": per_dev,
+                "iters_mean": round(mean_it, 1),
+                "iters_max": max(per_dev),
+                "work_normalized_efficiency": round(mean_it / max(per_dev), 3),
             }
         )
     )

@@ -97,7 +97,14 @@ def main(argv=None) -> int:
     from raytracer2022_tpu.render.integrator import trace_regen
     from raytracer2022_tpu.render.renderer import _regen_gen_rays
 
-    spp_par, spp_seq = 2, SPP // (2 * n_dev)
+    # production-like shape: depth 50, 16 sequential samples per lane —
+    # the depth-8 efficiency config above is too short to resolve
+    # schedule variance (every chip lands on the same trip count)
+    wcfg = RenderConfig(
+        width=W, height=H, spp=SPP, max_depth=50, background=bundle.background
+    )
+    wtcfg = wcfg.trace_cfg()
+    spp_par, spp_seq = 2, 16
     n_lanes = W * H * spp_par
     pix0 = jnp.arange(n_lanes, dtype=jnp.int32) % (W * H)
     gen = _regen_gen_rays(cam, W, H, n_lanes)
@@ -106,7 +113,7 @@ def main(argv=None) -> int:
         idx = jax.lax.axis_index("chips")
         local_key = jax.random.fold_in(key, idx)
         _, iters = trace_regen(
-            scene, gen, pix0, spp_seq, local_key, tcfg,
+            scene, gen, pix0, spp_seq, local_key, wtcfg,
             return_iters=True, spp_par=spp_par,
         )
         return jax.lax.all_gather(iters, "chips")

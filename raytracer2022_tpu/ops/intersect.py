@@ -936,6 +936,41 @@ def closest_hit(
     # material/texture/camera gradients — the BASELINE north-star set —
     # are exact here.
     sg = jax.lax.stop_gradient
+
+    # --- dense (brute) region FIRST: the loose tail is cheap (a few
+    # hundred prims) but often holds the scene's LARGE occluders (planets,
+    # ring plane, ground), so folding it into t_best before the tree walks
+    # hands the packet kernel a tight t_init — whole subtrees then fail
+    # the slab test's t_best clamp and are never visited (wwscene:
+    # bench +7%, the shuttle sits behind planets/rings for most rays).
+    # Stream homogeneous windows: each window's [N, W] candidate matrix
+    # reduces to a running (t_best, best) without ever materializing the
+    # full [N, P] grid; windows larger than CHUNK prims run as a lax.scan
+    # over fixed chunks so the transient stays bounded regardless of XLA
+    # fusion decisions.
+    ranges = [r for r in scene.stats.kind_ranges if r[2] > brute_lo]
+    if not ranges and not scene.clusters and scene.n_prims > 0:
+        ranges = [(-1, 0, scene.n_prims)]  # legacy: full masked switch
+    # bound the dense (N, chunk) transient: ~128M f32 elements regardless of
+    # wavefront size, so multi-million-ray launches don't OOM on a 530-prim
+    # scene (the transient is ~3x this for the vec temporaries)
+    CHUNK = max(32, min(512, (128 << 20) // max(n, 1)))
+    for k, s, e in ranges:
+        s = max(s, brute_lo)
+        if k == MEDIUM:
+            continue  # handled stochastically below
+        if e - s <= CHUNK:
+            t_w = candidate_t(scene, o, d, tm, t_min, t_max, prim_slice=slice(s, e))
+            tw = jnp.min(t_w, axis=0)
+            bw = jnp.argmin(t_w, axis=0).astype(jnp.int32) + s
+            take = tw < t_best
+            t_best = jnp.where(take, tw, t_best)
+            best = jnp.where(take, bw, best)
+        else:
+            t_best, best = _dense_window_scan(
+                scene, k, s, e, CHUNK, o, d, tm, t_min, t_max, t_best, best
+            )
+
     # winner-row fast path: when EVERY tree runs the packet kernel, the
     # kernels hand hit_details the winning leaf rows and no per-ray fetch
     # over the (possibly huge) BVH-region primitive table is ever needed
@@ -980,34 +1015,6 @@ def closest_hit(
             take = t_i < t_best
         t_best = jnp.where(take, t_i, t_best)
         best = jnp.where(take, b_i, best)
-
-    # stream homogeneous windows over the brute region: each window's
-    # [N, W] candidate matrix reduces to a running (t_best, best) without
-    # ever materializing the full [N, P] grid; windows larger than CHUNK
-    # prims run as a lax.scan over fixed chunks so the transient stays
-    # bounded regardless of XLA fusion decisions
-    ranges = [r for r in scene.stats.kind_ranges if r[2] > brute_lo]
-    if not ranges and not scene.clusters and scene.n_prims > 0:
-        ranges = [(-1, 0, scene.n_prims)]  # legacy: full masked switch
-    # bound the dense (N, chunk) transient: ~128M f32 elements regardless of
-    # wavefront size, so multi-million-ray launches don't OOM on a 530-prim
-    # scene (the transient is ~3x this for the vec temporaries)
-    CHUNK = max(32, min(512, (128 << 20) // max(n, 1)))
-    for k, s, e in ranges:
-        s = max(s, brute_lo)
-        if k == MEDIUM:
-            continue  # handled stochastically below
-        if e - s <= CHUNK:
-            t_w = candidate_t(scene, o, d, tm, t_min, t_max, prim_slice=slice(s, e))
-            tw = jnp.min(t_w, axis=0)
-            bw = jnp.argmin(t_w, axis=0).astype(jnp.int32) + s
-            take = tw < t_best
-            t_best = jnp.where(take, tw, t_best)
-            best = jnp.where(take, bw, best)
-        else:
-            t_best, best = _dense_window_scan(
-                scene, k, s, e, CHUNK, o, d, tm, t_min, t_max, t_best, best
-            )
 
     if scene.any_medium:
         for med_prim, b_start, b_count in scene.stats.mediums:

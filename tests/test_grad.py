@@ -32,6 +32,7 @@ def test_albedo_gradient_finite_difference():
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
     cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
 
+    @jax.jit
     def f(color_table):
         return _loss_fn(scene.replace(textures=scene.textures.replace(color=color_table)), cam, cfg)
 
@@ -58,6 +59,7 @@ def test_emission_gradient_finite_difference():
     cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
     light_tex = int(scene.materials.tex[0])
 
+    @jax.jit
     def f(color_table):
         return _loss_fn(scene.replace(textures=scene.textures.replace(color=color_table)), cam, cfg)
 
@@ -79,6 +81,7 @@ def test_regen_diff_albedo_gradient_finite_difference():
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
     cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
 
+    @jax.jit
     def f(color_table):
         s = scene.replace(textures=scene.textures.replace(color=color_table))
         img, cnt = render_batch_regen_diff(s, cam, KEY, 12, 12, 4, 8, 4 * 6 + 1, cfg)
@@ -117,6 +120,7 @@ def test_albedo_gradient_through_bvh_scene_finite_difference():
     cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
     tri_tex = int(scene.materials.tex[int(np.argmax(np.asarray(scene.materials.kind) == 0))])
 
+    @jax.jit
     def f(color_table):
         s = scene.replace(textures=scene.textures.replace(color=color_table))
         img = render_batch(s, cam, KEY, 12, 12, 32, cfg)
@@ -150,7 +154,10 @@ def test_camera_gradient_finite_difference():
     b.flip_face(dome)
     b.rect_xz(-30, 30, -30, 30, 0.0, b.lambertian(b.noise(0.5)))
     scene = b.finalize()
-    cfg = TraceConfig(max_depth=2, background=(0.0, 0.0, 0.0))
+    # unroll=True: 2 python-looped bounces instead of the checkpointed scan
+    # — same estimator, much smaller reverse-mode graph (this test is
+    # COMPILE-bound on the CPU mesh: the 7-octave marble's AD graph)
+    cfg = TraceConfig(max_depth=2, background=(0.0, 0.0, 0.0), unroll=True)
 
     def f(lookfrom_y):
         cam = make_camera((0.0, lookfrom_y, -2.0), (0.0, 0.0, -1.9), (0, 1, 0), 30, 1.0)
@@ -180,6 +187,7 @@ def test_fuzz_gradient_finite_difference():
     cfg = TraceConfig(max_depth=3, background=(0.0, 0.0, 0.0))
     metal_mat = int(np.argmax(np.asarray(scene.materials.kind) == 1))
 
+    @jax.jit
     def f(param):
         return _loss_fn(
             scene.replace(materials=scene.materials.replace(param=param)), cam, cfg
@@ -227,6 +235,7 @@ def test_ir_gradient_finite_difference():
     tm = jnp.zeros(n)
     probe = jax.random.normal(jax.random.fold_in(k, 1), (3, n))
 
+    @jax.jit
     def spec_dirs(param):
         s = scene.replace(materials=scene.materials.replace(param=param))
         hit, shade = closest_hit(s, o, d, tm, 1e-3, jnp.inf, k)
@@ -242,6 +251,7 @@ def test_ir_gradient_finite_difference():
     mask = jnp.asarray(np.linalg.norm(d_plus - d_minus, axis=0) < 0.1)
     assert float(mask.sum()) > 50  # plenty of refracting lanes survive
 
+    @jax.jit
     def f(param):
         return jnp.sum(jnp.where(mask[None], spec_dirs(param) * probe, 0.0))
 
@@ -261,7 +271,7 @@ def test_ir_gradient_finite_difference():
             scene.replace(materials=scene.materials.replace(param=param)), cam, cfg
         )
 
-    gr = np.asarray(jax.grad(loss)(p0))
+    gr = np.asarray(jax.jit(jax.grad(loss))(p0))
     assert np.isfinite(gr).all() and abs(gr[diel_mat]) > 1e-5
 
 
@@ -286,6 +296,7 @@ def test_regen_diff_drain_gradient_and_estimator():
     assert np.asarray(cnt1).mean() > 0.95 * np.asarray(cnt0).mean()
     np.testing.assert_allclose(m1.mean(), m0.mean(), rtol=2e-2)
 
+    @jax.jit
     def f(color_table):
         s = scene.replace(textures=scene.textures.replace(color=color_table))
         img, cnt = render_batch_regen_diff(

@@ -1,7 +1,7 @@
 # One-command gates, mirroring the reference Makefile (reference:
 # Makefile:1-21 — run_release / fmt / clippy / test / ci).
 
-.PHONY: run fmt lint test bench ci native
+.PHONY: run fmt lint test test-full bench ci native
 
 run:
 	python -m raytracer2022_tpu.cli --scene wwscene --width 640 --height 360 --spp 100 --out output/output.jpg
@@ -19,6 +19,10 @@ lint:
 
 test:
 	JAX_PLATFORMS=cpu python -m pytest tests/ -q
+
+# the full battery including @slow statistical cross-checks (nightly gate)
+test-full:
+	JAX_PLATFORMS=cpu python -m pytest tests/ -q -m ""
 
 bench:
 	python bench.py

@@ -23,6 +23,7 @@ def _free_port() -> int:
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_two_process_fake_cluster(tmp_path):
     port = _free_port()
     out = tmp_path / "img.npy"

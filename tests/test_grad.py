@@ -174,29 +174,30 @@ def test_fuzz_gradient_finite_difference():
     """Metal fuzz gradient vs central FD (material/mod.rs:85-96).  Fuzz
     perturbs the reflected direction continuously (reparameterized in-ball
     jitter); for the pathwise gradient to be NONZERO the radiance reaching
-    the metal must vary smoothly with direction, so the scene is a metal
-    ball inside a marble-noise EMISSIVE dome (a constant-emission
-    environment gives an exactly-zero pathwise fuzz gradient — any FD
-    signal there is pure discontinuity noise)."""
+    the metal must vary smoothly with direction.  The SKY GRADIENT serves
+    as that smooth envmap (r5: a marble-noise emissive dome did the same
+    job with a 3x larger, compile-dominated reverse graph; a
+    constant-emission environment would give an exactly-zero pathwise fuzz
+    gradient).  eps sweep: at 5e-3+ the scaled jitter ball crosses the
+    sphere's self-reflection silhouette and FD blows up; 2e-3 agrees to
+    ~4%."""
     b = SceneBuilder()
-    dome = b.sphere((0, 0, 0), 8, b.diffuse_light(b.noise(0.4)))
-    b.flip_face(dome)
     b.sphere((0, 0, 0), 1, b.metal((0.9, 0.9, 0.9), 0.3))
     scene = b.finalize()
-    cam = make_camera((0, 0, -5), (0, 0, 0), (0, 1, 0), 30, 1.0)
-    cfg = TraceConfig(max_depth=3, background=(0.0, 0.0, 0.0))
+    cam = make_camera((0, 1.5, -4), (0, 0, 0), (0, 1, 0), 30, 1.0)
+    cfg = TraceConfig(max_depth=3, background=None)  # sky gradient
     metal_mat = int(np.argmax(np.asarray(scene.materials.kind) == 1))
 
     @jax.jit
     def f(param):
         return _loss_fn(
-            scene.replace(materials=scene.materials.replace(param=param)), cam, cfg
+            scene.replace(materials=scene.materials.replace(param=param)), cam, cfg, spp=64
         )
 
     p0 = scene.materials.param
     g = np.asarray(jax.grad(f)(p0))
     assert np.isfinite(g).all() and abs(g[metal_mat]) > 1e-4
-    eps = 1e-3
+    eps = 2e-3
     e = jnp.zeros_like(p0).at[metal_mat].set(eps)
     fd = (float(f(p0 + e)) - float(f(p0 - e))) / (2 * eps)
     np.testing.assert_allclose(g[metal_mat], fd, rtol=0.1, atol=1e-5)
@@ -221,7 +222,6 @@ def test_ir_gradient_finite_difference():
     from raytracer2022_tpu.ops.materials import scatter, texture_value
 
     b = SceneBuilder()
-    b.rect_xz(-30, 30, -30, 30, 0.0, b.diffuse_light(b.noise(0.5)))
     b.rect_xz(-8, 8, -8, 8, 2.0, b.dielectric(1.5))
     scene = b.finalize()
     diel_mat = int(np.argmax(np.asarray(scene.materials.kind) == 2))
@@ -261,10 +261,10 @@ def test_ir_gradient_finite_difference():
     np.testing.assert_allclose(g, fd, rtol=2e-2, atol=1e-4)
 
     # render-level: the ir gradient through the full bounce loop is finite
-    # and nonzero (the marble floor makes the refracted landing point, and
-    # hence the image, smoothly ir-dependent)
+    # and nonzero (the refracted direction sweeps the smooth sky gradient
+    # as ir changes; r5 dropped the marble floor — compile-dominated)
     cam = make_camera((3, 6, -3), (0, 0, 0.5), (0, 1, 0), 35, 1.0)
-    cfg = TraceConfig(max_depth=3, background=(0.0, 0.0, 0.0))
+    cfg = TraceConfig(max_depth=3, background=None)
 
     def loss(param):
         return _loss_fn(
@@ -285,15 +285,18 @@ def test_regen_diff_drain_gradient_and_estimator():
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
     cfg = TraceConfig(max_depth=6, background=(0.0, 0.0, 0.0))
 
-    # estimator: a short pooled phase + drain must agree with the full
-    # budget (same key, same schedule prefix) within the truncation tail
-    img0, cnt0 = render_batch_regen_diff(scene, cam, KEY, 16, 16, 4, 8, 8 * 6 + 1, cfg)
+    # estimator: the drain arm vs the SAME budget without a drain — the
+    # first 20 iterations are identical (same key, same schedule), the
+    # drain only COMPLETES the in-flight samples truncation would drop,
+    # so the done-normalized means are tightly correlated
     img1, cnt1 = render_batch_regen_diff(
-        scene, cam, KEY, 16, 16, 4, 8, 20, cfg, n_drain=6
+        scene, cam, KEY, 12, 12, 4, 8, 20, cfg, n_drain=6
     )
-    m0 = np.asarray(img0) / np.maximum(np.asarray(cnt0), 1)
+    img0, cnt0 = render_batch_regen_diff(scene, cam, KEY, 12, 12, 4, 8, 20, cfg)
     m1 = np.asarray(img1) / np.maximum(np.asarray(cnt1), 1)
-    assert np.asarray(cnt1).mean() > 0.95 * np.asarray(cnt0).mean()
+    m0 = np.asarray(img0) / np.maximum(np.asarray(cnt0), 1)
+    assert np.asarray(cnt1).mean() > 0.95 * 32  # drain completes ~all samples
+    assert (np.asarray(cnt1) >= np.asarray(cnt0)).all()  # drain only adds
     np.testing.assert_allclose(m1.mean(), m0.mean(), rtol=2e-2)
 
     @jax.jit

@@ -87,13 +87,14 @@ def _geom_fd_check(scene, cam, row, col, eps):
     # self-intersections and swamps FD (measured: radius FD jumped to ~16)
     cfg = TraceConfig(max_depth=3, background=None, spawn_eps=5e-3)
 
+    @jax.jit
     def f(params):
         s = scene.replace(params=params)
         img, cnt = render_batch_regen_diff(s, cam, KEY, 12, 12, 4, 8, 4 * 3 + 1, cfg)
         return jnp.mean(img / jnp.maximum(cnt, 1)[None])
 
     p0 = scene.params
-    g = np.asarray(jax.grad(f)(p0))
+    g = np.asarray(jax.jit(jax.grad(f))(p0))
     assert np.isfinite(g).all()
     gv = g[row, col]
     e = jnp.zeros_like(p0).at[row, col].set(eps)
@@ -101,8 +102,10 @@ def _geom_fd_check(scene, cam, row, col, eps):
     assert abs(gv) > 1e-5, f"geometry gradient vanished: {gv}"
     # eps sweep (r5 devlog): at 5e-3 a handful of edge pixels flip
     # discretely (|pixel FD| up to 16); at 5e-4 FD converges to AD to ~5e-4
-    # relative.  f32 rounding noise stays ~1e-4 absolute at this eps.
-    np.testing.assert_allclose(gv, fd, rtol=2e-2, atol=2e-4)
+    # relative.  f32 rounding noise stays ~1e-4 absolute at this eps; atol
+    # 3e-4 additionally covers jit-vs-eager fusion reassociation (measured
+    # 2.3e-4 on the radius row).
+    np.testing.assert_allclose(gv, fd, rtol=2e-2, atol=3e-4)
 
 
 @pytest.mark.parametrize("row", [1, 3])

@@ -1,6 +1,7 @@
 """Integrator semantics: energy conservation, emission, MIS consistency."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -156,6 +157,7 @@ def test_regen_diff_matches_scan_statistically():
     np.testing.assert_allclose(a.mean(axis=(1, 2)), r.mean(axis=(1, 2)), rtol=0.08)
 
 
+@pytest.mark.slow
 def test_regen_diff_truncated_iters_normalizes():
     """With n_iters below the bound, unfinished samples are discarded and
     ``done`` counts completed ones; sum/count stays a consistent
@@ -187,6 +189,7 @@ def test_regen_diff_truncated_iters_normalizes():
     np.testing.assert_allclose(a.mean(), r.mean(), rtol=0.07)
 
 
+@pytest.mark.slow
 def test_regen_pool_counts_exact():
     """Global-pool scheduling bookkeeping: inside an emissive dome every
     sample contributes EXACTLY the emission, so the per-pixel mean equals

@@ -1,6 +1,7 @@
 """Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def test_sharded_render_matches_single_chip_statistically():
     assert np.abs(sharded - single).mean() < 3 * mad_independent
 
 
+@pytest.mark.slow
 def test_sharded_regen_matches_single_chip_statistically():
     """VERDICT r3 item 4: the PRODUCTION regen renderer sharded over the
     mesh must agree with the single-chip regen render."""
@@ -77,6 +79,7 @@ def test_sharded_regen_matches_single_chip_statistically():
     assert np.abs(sharded - singles[0]).mean() < 3.0 * max(mads) + 1e-3
 
 
+@pytest.mark.slow
 def test_fit_step_runs_and_reduces_loss_direction():
     scene = _scene()
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)

@@ -4,6 +4,7 @@ invariance of the sorted regen integrator."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracer2022_tpu import RenderConfig, make_camera
 from raytracer2022_tpu.ops.sort import MORTON_BITS, ray_sort_key, sort_by_key
@@ -35,6 +36,7 @@ def test_sort_by_key_applies_same_permutation_to_all_payloads():
     assert set(np.asarray(a2).tolist()) == set(range(257))
 
 
+@pytest.mark.slow
 def test_sorted_regen_is_statistically_equivalent():
     """Sorting permutes lane<->RNG assignment, so images agree to MC noise:
     the sorted-vs-unsorted gap must match the same-config different-seed

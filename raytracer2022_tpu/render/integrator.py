@@ -349,12 +349,15 @@ def trace_regen(
     o0, d0, tm0 = gen_rays(jax.random.fold_in(key, 0), pix_start)
     zeros3 = jnp.zeros((3, n))
 
-    # Narrow drain phase: once the pool is empty no lane ever regenerates,
-    # so occupancy decays toward the handful of longest paths while every
-    # full-width iteration still pays full-width fixed costs (~max_depth
-    # such iterations per launch).  Compact the survivors into an N/4
-    # wavefront and finish them there.
-    narrow = sched and n >= 8192
+    # Narrow drain phase: late iterations run at collapsing occupancy
+    # while still paying full-width fixed costs — in pool mode once the
+    # pool empties no lane ever regenerates (~max_depth such iterations
+    # per launch); in quota mode the slowest lanes' remaining quotas
+    # produce an even longer tail (the max-over-lanes of 64-sample length
+    # sums, measured 225 vs 166 ideal iterations on cornell (2,64)).
+    # Either way: compact the stragglers into an N/4 wavefront and finish
+    # them there (quota lanes keep regenerating inside the drain).
+    narrow = n >= 8192 and not do_sort
     n2 = n // 4 if narrow else n
 
     def cond(state):
@@ -367,7 +370,11 @@ def trace_regen(
                 # the survivors fit in the N/4 wavefront
                 go &= (remaining > 0) | (jnp.sum(working) > n2)
         else:
-            go = jnp.any(state[6] < spp_seq)
+            working_q = state[6] < spp_seq
+            go = jnp.any(working_q)
+            if narrow:
+                # hand off once the lanes still owing quota fit in N/4
+                go &= jnp.sum(working_q) > n2
         return (it < max_iter) & go
 
     def body(state):
@@ -486,6 +493,62 @@ def trace_regen(
     )
     state = jax.lax.while_loop(cond, body, state)
     radiance, pix = state[5], state[8]
+    if not sched and narrow:
+        # quota drain: lanes still owing samples are compacted into an N/4
+        # wavefront and run the SAME quota schedule there (regeneration
+        # included) until every quota completes — per-pixel sample counts
+        # stay exactly spp_par * spp_seq, only the width changes.  The
+        # iteration counter rides the carry so the per-iteration RNG keys
+        # continue phase A's sequence (no reuse).
+        it_a, o, d, tm, throughput = state[0], state[1], state[2], state[3], state[4]
+        done_q, depth = state[6], state[7]
+        working = done_q < spp_seq
+        perm = jnp.argsort(~working, stable=True)[:n2]
+
+        def take(x):
+            return jnp.take(x, perm, axis=-1)
+
+        def cond_b(s):
+            return (s[0] < max_iter) & jnp.any(s[6] < spp_seq)
+
+        def body_b(s):
+            it, o, d, tm, th, rad, done, dp, pixb = s
+            k_vertex, k_regen = jax.random.split(jax.random.fold_in(key, it + 1))
+            alive = done < spp_seq
+            vx = _eval_vertex(
+                scene, cfg, o, d, tm, th, alive, k_vertex,
+                use_pallas=True, recompute_t=False,  # forward-only drain
+            )
+            rad = rad + vx.radiance_add  # masked by `alive`
+            dp = dp + 1
+            cont = vx.cont & (dp < cfg.max_depth)
+            finished = alive & ~cont
+            done = done + finished.astype(done.dtype)
+            o_new, d_new, tm_new = gen_rays(k_regen, pixb)
+            start = finished  # regenerate unconditionally until quota met
+            rg = start[None]
+            o = jnp.where(rg, o_new, jnp.where(cont[None], vx.o, o))
+            d = jnp.where(rg, d_new, jnp.where(cont[None], vx.d, d))
+            tm = jnp.where(start, tm_new, jnp.where(cont, vx.tm, tm))
+            th = jnp.where(rg, 1.0, jnp.where(cont[None], vx.throughput, th))
+            dp = jnp.where(start, 0, dp)
+            return (it + 1, o, d, tm, th, rad, done, dp, pixb)
+
+        sb = (
+            it_a,
+            take(o),
+            take(d),
+            take(tm),
+            take(throughput),
+            take(radiance),
+            take(done_q),
+            take(depth),
+            take(pix),
+        )
+        sb = jax.lax.while_loop(cond_b, body_b, sb)
+        # compacted lanes' radiance continued in the narrow arrays; the
+        # scatter-set (unique indices) puts their finals back in place
+        radiance = radiance.at[:, perm].set(sb[5])
     if sched:
         store, sample_rad, pix_map = radiance
         vals = store.reshape(3, -1)

@@ -105,14 +105,18 @@ def render_batch_regen(
 
 
 def _regen_gen_rays(camera: Camera, width: int, height: int, n: int):
-    """Lane-current-pixel ray generator shared by the regen integrators."""
+    """Lane-current-pixel ray generator shared by the regen integrators.
+
+    Shape-polymorphic in ``pix`` (the narrow drain phases regenerate
+    compacted N/4 wavefronts); ``n`` is kept for API compatibility."""
+    del n
 
     def gen_rays(sample_key, pix):
         k_u, k_v, k_cam = jax.random.split(sample_key, 3)
         xs = (pix % width).astype(jnp.float32)
         ys = (pix // width).astype(jnp.float32)
-        u = (xs + jax.random.uniform(k_u, (n,))) / (width - 1)
-        v = (ys + jax.random.uniform(k_v, (n,))) / (height - 1)
+        u = (xs + jax.random.uniform(k_u, pix.shape)) / (width - 1)
+        v = (ys + jax.random.uniform(k_v, pix.shape)) / (height - 1)
         return get_rays(camera, u, v, k_cam)
 
     return gen_rays

@@ -239,3 +239,26 @@ def test_regen_matches_scan_statistically():
     np.testing.assert_allclose(
         a.mean(axis=(1, 2)), r.mean(axis=(1, 2)), rtol=0.08
     )
+
+
+def test_regen_quota_narrow_drain_statistical():
+    """r5: the QUOTA schedule's narrow drain (lanes still owing samples
+    compacted to N/4 and finished there, regeneration included) must keep
+    the estimator: 64x64 x spp_par 2 = 8192 lanes engages the drain even
+    on the CPU mesh.  book1-class win: random_scene 5.17 -> 11.2 Mpaths/s
+    (the full-width straggler tail dominated the dense-scan scene)."""
+    from raytracer2022_tpu.render.renderer import render_batch, render_batch_regen
+
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3.9, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0.0, b.lambertian((0.6, 0.4, 0.3)))
+    b.sphere((0, 1, 0), 1, b.lambertian((0.3, 0.5, 0.7)))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
+    key = jax.random.PRNGKey(3)
+    img_q = np.asarray(render_batch_regen(scene, cam, key, 64, 64, 2, 8, cfg, pool=False)) / 16
+    img_s = np.asarray(render_batch(scene, cam, jax.random.fold_in(key, 1), 64, 64, 16, cfg)) / 16
+    assert abs(img_q.mean() - img_s.mean()) / max(img_s.mean(), 1e-6) < 0.05

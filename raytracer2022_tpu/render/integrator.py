@@ -272,7 +272,7 @@ def trace_regen(
     cfg: TraceConfig,
     return_iters: bool = False,
     spp_par: Optional[int] = None,  # lanes per pixel (enables pooling)
-    pool: Optional[bool] = None,  # force global pool on/off (None: sq<=32)
+    pool=None,  # None: heuristic; True/False: global pool; "pixel": pixel pool
 ) -> jnp.ndarray:
     """Path-regeneration wavefront -> per-lane radiance SUM, grouped by
     pixel (lane l serves pixel l % n_pix unless noted below).
@@ -324,14 +324,20 @@ def trace_regen(
 
     n = pix0.shape[0]
     do_sort = cfg.sort_rays and scene.use_bvh and n >= 2048
-    # Global pooling pays a per-iteration deposit cost proportional to the
-    # (3, S_max, N) store; the gate keeps it where it wins.  Measured:
-    # heterogeneous scenes (wwscene/final/random at sq<=32) gain 1.2-4x
-    # from pooling; cornell's cheap uniform bounces at sq=64 lose 8x to
-    # the deposit, and its quota schedule is already ~80% occupied.
+    # Scheduler choice.  Global pooling pays a per-iteration deposit cost
+    # proportional to the (3, S_max, N) store; the gate keeps it where it
+    # wins.  Measured: heterogeneous scenes (wwscene/final at sq<=32) gain
+    # 1.2-4x from pooling; cornell's cheap uniform bounces at sq=64 lose
+    # 8x to the deposit.  The PIXEL pool ("pixel", r5) shares each pixel's
+    # spp_par*spp_seq samples among that pixel's spp_par lanes — per-lane
+    # radiance (no deposit store at all) at ~2.7 iters/sample vs the
+    # quota schedule's 3.5 (max-over-lanes); at handoff the unserved
+    # trickle becomes per-lane leftover quotas for the narrow drain, so
+    # per-pixel counts stay exactly spp_par*spp_seq.
     if pool is None:
-        pool = spp_seq <= 32
-    sched = spp_par is not None and not do_sort and pool
+        pool = spp_seq <= 32 or "pixel"
+    psched = spp_par is not None and not do_sort and pool == "pixel"
+    sched = spp_par is not None and not do_sort and bool(pool) and not psched
     wb = scene.stats.world_bounds
     max_iter = (spp_seq + 1) * cfg.max_depth + 2  # hard safety bound
 
@@ -343,6 +349,9 @@ def trace_regen(
         s_max = 2 * spp_seq + 2 if spp_seq <= 16 else spp_seq + 8
         slot_iota = jnp.arange(s_max, dtype=jnp.int32)[:, None]  # (S_max, 1)
         pix_start = jnp.arange(n, dtype=jnp.int32) % n_pix  # samples 0..N-1
+    elif psched:
+        n_pix = n // spp_par
+        pix_start = pix0
     else:
         pix_start = pix0
 
@@ -369,6 +378,15 @@ def trace_regen(
                 # hand off to the narrow phase once the pool is drained and
                 # the survivors fit in the N/4 wavefront
                 go &= (remaining > 0) | (jnp.sum(working) > n2)
+        elif psched:
+            # a lane idles only when its own pixel's pool is empty, so
+            # any(alive) alone is a complete termination condition; with
+            # narrow, hand off once the survivors fit in N/4 (the unserved
+            # trickle rides along as leftover quotas)
+            working = state[6][0]
+            go = jnp.any(working)
+            if narrow:
+                go &= jnp.sum(working) > n2
         else:
             working_q = state[6] < spp_seq
             go = jnp.any(working_q)
@@ -382,6 +400,8 @@ def trace_regen(
         if sched:
             store, sample_rad, pix_map = radiance
             working, remaining, slots, drawn = work
+        elif psched:
+            working, remaining = work
         else:
             done = work
             working = done < spp_seq
@@ -422,6 +442,12 @@ def trace_regen(
             pix_map = jnp.where(rec, pix[None], pix_map)
             radiance = (store, sample_rad, pix_map)
             work = (cont | start, remaining - n_started, slots, drawn + n_started)
+        elif psched:
+            radiance = radiance + vx.radiance_add  # masked by `working`
+            start, remaining = _pool_reserve(
+                finished | ~working, remaining, spp_par
+            )
+            work = (cont | start, remaining)
         else:
             radiance = radiance + vx.radiance_add  # masked by `working`
             done = done + finished.astype(done.dtype)
@@ -476,6 +502,12 @@ def trace_regen(
             jnp.zeros((n,), dtype=jnp.int32),  # completed-sample slots
             jnp.int32(n),  # samples drawn so far (initial wavefront)
         )
+    elif psched:
+        rad0 = zeros3
+        work0 = (
+            jnp.ones((n,), dtype=bool),  # every lane starts in flight
+            jnp.full((n_pix,), spp_par * (spp_seq - 1), dtype=jnp.int32),
+        )
     else:
         rad0 = zeros3
         work0 = jnp.zeros((n,), dtype=jnp.int32)
@@ -493,7 +525,69 @@ def trace_regen(
     )
     state = jax.lax.while_loop(cond, body, state)
     radiance, pix = state[5], state[8]
-    if not sched and narrow:
+    if psched and narrow:
+        # pixel-pool drain: the survivors (mid-flight lanes) compact into
+        # an N/4 wavefront together with their pixels' LEFTOVER pool as
+        # per-lane quotas — a pixel with remaining samples always has all
+        # its lanes in flight (an idle lane with a nonempty pixel pool is
+        # granted a sample the same iteration), so splitting remaining[p]
+        # among p's alive lanes by rank loses nothing and keeps per-pixel
+        # counts exactly spp_par * spp_seq.
+        it_a, o, d, tm, throughput = state[0], state[1], state[2], state[3], state[4]
+        alive, remaining = state[6]
+        depth = state[7]
+        alivem = alive.reshape(spp_par, n_pix)
+        rank = jnp.cumsum(alivem, axis=0) - alivem  # rank among pixel's lanes
+        k_al = jnp.maximum(jnp.sum(alivem, axis=0), 1)
+        base = remaining // k_al
+        extra = remaining % k_al
+        need_m = jnp.where(alivem, base[None] + (rank < extra[None]), 0)
+        need = need_m.reshape(-1).astype(jnp.int32)  # full samples after this one
+        perm = jnp.argsort(~alive, stable=True)[:n2]
+
+        def take(x):
+            return jnp.take(x, perm, axis=-1)
+
+        def cond_p(s):
+            return (s[0] < max_iter) & jnp.any(s[7])
+
+        def body_p(s):
+            it, o, d, tm, th, rad, need, al, dp, pixb = s
+            k_vertex, k_regen = jax.random.split(jax.random.fold_in(key, it + 1))
+            vx = _eval_vertex(
+                scene, cfg, o, d, tm, th, al, k_vertex,
+                use_pallas=True, recompute_t=False,  # forward-only drain
+            )
+            rad = rad + vx.radiance_add  # masked by `al`
+            dp = dp + 1
+            cont = vx.cont & (dp < cfg.max_depth)
+            finished = al & ~cont
+            start = finished & (need > 0)
+            need = need - start.astype(need.dtype)
+            o_new, d_new, tm_new = gen_rays(k_regen, pixb)
+            rg = start[None]
+            o = jnp.where(rg, o_new, jnp.where(cont[None], vx.o, o))
+            d = jnp.where(rg, d_new, jnp.where(cont[None], vx.d, d))
+            tm = jnp.where(start, tm_new, jnp.where(cont, vx.tm, tm))
+            th = jnp.where(rg, 1.0, jnp.where(cont[None], vx.throughput, th))
+            dp = jnp.where(start, 0, dp)
+            return (it + 1, o, d, tm, th, rad, need, cont | start, dp, pixb)
+
+        sp0 = (
+            it_a,
+            take(o),
+            take(d),
+            take(tm),
+            take(throughput),
+            take(radiance),
+            take(need),
+            take(alive),
+            take(depth),
+            take(pix),
+        )
+        sp0 = jax.lax.while_loop(cond_p, body_p, sp0)
+        radiance = radiance.at[:, perm].set(sp0[5])
+    if not sched and not psched and narrow:
         # quota drain: lanes still owing samples are compacted into an N/4
         # wavefront and run the SAME quota schedule there (regeneration
         # included) until every quota completes — per-pixel sample counts

@@ -241,12 +241,14 @@ def test_regen_matches_scan_statistically():
     )
 
 
-def test_regen_quota_narrow_drain_statistical():
-    """r5: the QUOTA schedule's narrow drain (lanes still owing samples
-    compacted to N/4 and finished there, regeneration included) must keep
-    the estimator: 64x64 x spp_par 2 = 8192 lanes engages the drain even
-    on the CPU mesh.  book1-class win: random_scene 5.17 -> 11.2 Mpaths/s
-    (the full-width straggler tail dominated the dense-scan scene)."""
+@pytest.mark.parametrize("pool", [False, "pixel"])
+def test_regen_quota_narrow_drain_statistical(pool):
+    """r5: the QUOTA and PIXEL-POOL schedules' narrow drains (stragglers
+    compacted to N/4 and finished there — quota lanes keep regenerating;
+    pixel-pool lanes carry their pixel's leftover pool as per-lane quotas)
+    must keep the estimator: 64x64 x spp_par 2 = 8192 lanes engages the
+    drain even on the CPU mesh.  Wins: random_scene 5.2 -> 12.3, cornell
+    headline 100 -> 166 Mpaths/s (one 2048-spp launch)."""
     from raytracer2022_tpu.render.renderer import render_batch, render_batch_regen
 
     b = SceneBuilder()
@@ -259,6 +261,6 @@ def test_regen_quota_narrow_drain_statistical():
     cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
     cfg = TraceConfig(max_depth=4, background=(0.0, 0.0, 0.0))
     key = jax.random.PRNGKey(3)
-    img_q = np.asarray(render_batch_regen(scene, cam, key, 64, 64, 2, 8, cfg, pool=False)) / 16
+    img_q = np.asarray(render_batch_regen(scene, cam, key, 64, 64, 2, 8, cfg, pool=pool)) / 16
     img_s = np.asarray(render_batch(scene, cam, jax.random.fold_in(key, 1), 64, 64, 16, cfg)) / 16
     assert abs(img_q.mean() - img_s.mean()) / max(img_s.mean(), 1e-6) < 0.05

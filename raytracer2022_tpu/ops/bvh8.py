@@ -60,6 +60,11 @@ class Bvh8Tree:
     entries: jnp.ndarray  # i32[Ng*8] tagged: >=0 group id, <0 leaf -(ptr+1), SENT empty
     boxes: jnp.ndarray  # f32[Ng*8, 8] cols 0-2 bmin, 3-5 bmax
     prows: jnp.ndarray  # f32[Lb*8, NCOL] leaf prim rows
+    # near-first child visit order per (group, ray-sign octant): 8 slot
+    # ids packed 3 bits each, nearest at the LOW bits (ordered by slot
+    # centroid . octant direction).  The kernel pushes far-to-near so the
+    # nearest child pops first and tightens t_best early.
+    axorder: jnp.ndarray  # i32[Ng*8] (group-major, octant minor)
 
 
 # --------------------------------------------------------------------------
@@ -167,7 +172,13 @@ def build_bvh8(
     groups_box: list[np.ndarray] = []
     child_entry: list[np.ndarray] = []
     prim_rows: list[np.ndarray] = []
+    ax_order: list[np.ndarray] = []
     max_depth = 0
+
+    _octs = np.array(
+        [[1 if o & (1 << a) else -1 for a in range(3)] for o in range(8)],
+        np.float64,
+    )  # octant o: sign of direction component a = bit a
 
     def rec(i: int, depth: int) -> int:
         nonlocal max_depth
@@ -180,6 +191,22 @@ def build_bvh8(
         ce = np.full(FANOUT, SENT, np.int32)
         child_entry.append(ce)
         slots = collect8(i)
+        # near-first visit order per ray-sign octant: slots sorted by
+        # centroid projection along the octant direction (empty slots at
+        # FAR sort last automatically via their +FAR centroids)
+        cent = np.full((FANOUT, 3), FAR, np.float64)
+        for j, s in enumerate(slots):
+            cent[j] = (nb_min[s] + nb_max[s]) * 0.5
+        ao = np.zeros(FANOUT, np.int32)
+        for o in range(FANOUT):
+            proj = cent @ _octs[o]
+            proj[np.isnan(proj)] = FAR
+            order8 = np.argsort(proj, kind="stable")
+            packed = 0
+            for ordinal, j in enumerate(order8):
+                packed |= int(j) << (3 * ordinal)
+            ao[o] = packed
+        ax_order.append(ao)
         for j, s in enumerate(slots):
             gb[j, 0:3] = nb_min[s]
             gb[j, 3:6] = nb_max[s]
@@ -213,6 +240,7 @@ def build_bvh8(
         entries=jnp.asarray(np.concatenate(child_entry).astype(np.int32)),
         boxes=jnp.asarray(np.concatenate(groups_box, axis=0)),
         prows=jnp.asarray(rows),
+        axorder=jnp.asarray(np.concatenate(ax_order).astype(np.int32)),
     )
 
 
@@ -335,7 +363,7 @@ def _leaf_test(kind: int, pb, ovx, ovy, ovz, dxv, dyv, dzv, tmv, t_min, t_best):
 def _make_kernel(kind: int, t_min: float):
     from jax.experimental import pallas as pl
 
-    def kernel(en_ref, gb_ref, pr_ref,
+    def kernel(en_ref, ao_ref, gb_ref, pr_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                ti_ref, t_ref, b_ref, r_ref, stack_ref, mb_ref):
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (FANOUT, 1), 0)
@@ -355,6 +383,13 @@ def _make_kernel(kind: int, t_min: float):
             b_ref[pl.ds(j, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
             r_ref[pl.ds(j, 1), :, :] = jnp.zeros((1, NCOL, PACKET), jnp.float32)
             stack_ref[0] = 0
+            # the packet's dominant ray-sign octant selects the per-group
+            # near-first child order (bit a = sign of mean d component a)
+            oct_ = (
+                (jnp.sum(dxv) > 0.0).astype(jnp.int32)
+                + 2 * (jnp.sum(dyv) > 0.0).astype(jnp.int32)
+                + 4 * (jnp.sum(dzv) > 0.0).astype(jnp.int32)
+            )
 
             def cond(c):
                 return c > 0
@@ -392,8 +427,13 @@ def _make_kernel(kind: int, t_min: float):
                 is_group = e >= 0
                 bits = jnp.where(is_group, mb_ref[0], 0)
                 eg = jnp.where(is_group, e, 0)
+                perm = ao_ref[eg * FANOUT + oct_]
                 spx = sp
-                for jj in range(FANOUT):
+                # push far-to-near (reverse of the packed near-first order)
+                # so the nearest hit child pops first: t_best tightens
+                # early and later groups prune harder
+                for ordinal in reversed(range(FANOUT)):
+                    jj = (perm >> (3 * ordinal)) & 7
                     ent = en_ref[eg * FANOUT + jj]
                     push = ((bits >> jj) & 1 == 1) & (ent != SENT)
 
@@ -500,6 +540,7 @@ def traverse_bvh8(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
@@ -515,7 +556,7 @@ def traverse_bvh8(
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(tree.entries, tree.boxes, tree.prows, *comp, ti)
+    )(tree.entries, tree.axorder, tree.boxes, tree.prows, *comp, ti)
     t = t.reshape(-1)[:n]
     b = b.reshape(-1)[:n]
     if return_rows:

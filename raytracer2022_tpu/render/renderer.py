@@ -88,33 +88,47 @@ def render_batch_regen(
     spp_seq: int,  # samples each lane completes sequentially
     cfg: TraceConfig,
     pool=None,  # force the global sample pool on/off (None: heuristic)
+    row0=0,  # first image row of this launch's tile (dynamic scalar)
+    rows: Optional[int] = None,  # tile height (static; None = full frame)
 ) -> jnp.ndarray:
-    """One device launch via path regeneration -> (3, H, W) radiance SUM
-    over ``spp_par * spp_seq`` samples.  See integrator.trace_regen."""
-    n = height * width * spp_par
-    # lane l starts on pixel l % n_pix (pixel-STRIDED, see _pool_reserve's
-    # layout note); lanes migrate when the integrator sorts for coherence,
-    # so rays are generated from the lane's CURRENT pixel id
-    pix0 = jnp.arange(n, dtype=jnp.int32) % (height * width)
+    """One device launch via path regeneration -> (3, rows, W) radiance SUM
+    over ``spp_par * spp_seq`` samples.  See integrator.trace_regen.
+
+    ``row0``/``rows`` select a horizontal image STRIP: large frames tile
+    into strips so each launch stays under the lane budget instead of
+    tracing millions of 1-lane-per-pixel rays at once — the strip's lanes
+    then afford DEEP sequential sampling, which amortizes the regen
+    scheduler's fixed tail (full-res wwscene measured 3.1 -> ~5 Mpaths/s).
+    """
+    rows = height if rows is None else rows
+    n = rows * width * spp_par
+    # lane l starts on strip pixel l % n_pix (pixel-STRIDED, see
+    # _pool_reserve's layout note); the scheduler works in STRIP-LOCAL
+    # pixel ids (its pool/segment bookkeeping needs 0..n_pix), and the ray
+    # generator adds the strip's global row offset
+    pix0 = jnp.arange(n, dtype=jnp.int32) % (rows * width)
     k_trace = jax.random.fold_in(key, 0x5EED)
-    gen_rays = _regen_gen_rays(camera, width, height, n)
+    gen_rays = _regen_gen_rays(camera, width, height, n, pix_offset=row0 * width)
     radiance = trace_regen(
         scene, gen_rays, pix0, spp_seq, k_trace, cfg, spp_par=spp_par, pool=pool
     )  # (3, N)
-    return jnp.sum(radiance.reshape(3, spp_par, height, width), axis=1)
+    return jnp.sum(radiance.reshape(3, spp_par, rows, width), axis=1)
 
 
-def _regen_gen_rays(camera: Camera, width: int, height: int, n: int):
+def _regen_gen_rays(camera: Camera, width: int, height: int, n: int, pix_offset: int = 0):
     """Lane-current-pixel ray generator shared by the regen integrators.
 
     Shape-polymorphic in ``pix`` (the narrow drain phases regenerate
-    compacted N/4 wavefronts); ``n`` is kept for API compatibility."""
+    compacted N/4 wavefronts); ``n`` is kept for API compatibility.
+    ``pix_offset`` maps a tile's strip-local pixel ids to global image
+    pixels (the schedulers' pool/segment bookkeeping is strip-local)."""
     del n
 
     def gen_rays(sample_key, pix):
         k_u, k_v, k_cam = jax.random.split(sample_key, 3)
-        xs = (pix % width).astype(jnp.float32)
-        ys = (pix // width).astype(jnp.float32)
+        gpix = pix + pix_offset
+        xs = (gpix % width).astype(jnp.float32)
+        ys = (gpix // width).astype(jnp.float32)
         u = (xs + jax.random.uniform(k_u, pix.shape)) / (width - 1)
         v = (ys + jax.random.uniform(k_v, pix.shape)) / (height - 1)
         return get_rays(camera, u, v, k_cam)
@@ -227,7 +241,11 @@ _render_batch_jit = jax.jit(
 
 _render_batch_regen_jit = jax.jit(
     render_batch_regen,
-    static_argnames=("width", "height", "spp_par", "spp_seq", "cfg", "pool"),
+    # row0 is a DYNAMIC scalar (it only offsets pixel ids) — making it
+    # static would recompile per strip: 15 strips x ~60 s wwscene compiles
+    static_argnames=(
+        "width", "height", "spp_par", "spp_seq", "cfg", "pool", "rows",
+    ),
 )
 
 
@@ -277,21 +295,43 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
         if progress is not None:
             chunk = max(1, min(chunk, spp_seq // 8 or 1))
         n_launches = -(-spp_seq // chunk)
+        # Image TILING (r5): large frames split into row strips so every
+        # launch stays under max_rays_per_batch lanes — a 2560x1440 frame
+        # previously launched one 3.7M-lane wavefront (14x the budget) and
+        # was forced into shallow sequential chunks by the watchdog; strip
+        # launches are small enough to run the full chunk depth, which
+        # amortizes the per-launch regen tail.
+        rows_per = max(
+            1, min(cfg.height, cfg.max_rays_per_batch // max(1, cfg.width * batch))
+        )
+        n_strips = -(-cfg.height // rows_per)
         total = jnp.zeros((3, cfg.height, cfg.width))
-        for i in range(n_launches):
-            total = total + _render_batch_regen_jit(
-                scene,
-                camera,
-                jax.random.fold_in(key, i),
-                width=cfg.width,
-                height=cfg.height,
-                spp_par=batch,
-                spp_seq=chunk,
-                cfg=tcfg,
-            )
-            if progress is not None:
-                total.block_until_ready()
-                progress((i + 1) * chunk * batch, n_launches * chunk * batch)
+        launch = 0
+        for s in range(n_strips):
+            r0 = s * rows_per
+            rs = min(rows_per, cfg.height - r0)
+            for i in range(n_launches):
+                part = _render_batch_regen_jit(
+                    scene,
+                    camera,
+                    jax.random.fold_in(key, launch),
+                    width=cfg.width,
+                    height=cfg.height,
+                    spp_par=batch,
+                    spp_seq=chunk,
+                    cfg=tcfg,
+                    row0=r0,
+                    rows=rs,
+                )
+                total = total.at[:, r0 : r0 + rs, :].add(part)
+                launch += 1
+                if progress is not None:
+                    total.block_until_ready()
+                    # spp-equivalent progress (launches complete strips)
+                    total_spp = n_launches * chunk * batch
+                    progress(
+                        launch * total_spp // (n_strips * n_launches), total_spp
+                    )
         return total, n_launches * chunk * batch
 
     n_batches = -(-cfg.spp // batch)

@@ -30,6 +30,12 @@ def main(argv=None) -> int:
     parser.add_argument("--sharded", action="store_true", help="shard spp over all devices")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
+    parser.add_argument(
+        "--checkpoint", default=None,
+        help="npz path: save the running radiance sum after every launch "
+        "and resume an interrupted render with the same configuration "
+        "(the reference render is all-or-nothing)",
+    )
     # multi-host (pod-slice) execution: one process per host
     parser.add_argument("--coordinator", default=None, help="host:port of process 0 (multi-host)")
     parser.add_argument("--num-processes", type=int, default=None)
@@ -100,7 +106,10 @@ def main(argv=None) -> int:
                 bundle.scene, camera, cfg, mesh
             )
         else:
-            total = render_sum(bundle.scene, camera, cfg, progress=log.progress)
+            total = render_sum(
+                bundle.scene, camera, cfg, progress=log.progress,
+                checkpoint=args.checkpoint,
+            )
         total.block_until_ready()
     dt = time.perf_counter() - t0
 

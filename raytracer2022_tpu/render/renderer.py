@@ -249,7 +249,13 @@ _render_batch_regen_jit = jax.jit(
 )
 
 
-def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None):
+def render_sum_n(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    progress=None,
+    checkpoint: Optional[str] = None,
+):
     """Full render -> ((3, H, W) radiance sum, n_samples).
 
     Samples are taken in UNIFORM batches (one compile for all launches);
@@ -261,6 +267,14 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
     bars (main.rs:122-127, 135, 155) become per-launch render progress.
     When set, long renders are split into several launches so the callback
     fires at a useful cadence (all launches share one compilation).
+
+    ``checkpoint``: optional .npz path making the render RESTART-SAFE (the
+    reference's render is all-or-nothing, SURVEY.md §5): the running
+    radiance sum is saved after every device launch and a rerun with the
+    same configuration resumes from the last completed launch (launches
+    are deterministic in their index, so the resumed image is identical).
+    A mismatched configuration in an existing file restarts from scratch.
+    Regen path only.
     """
     key = jax.random.PRNGKey(cfg.seed)
     tcfg = cfg.trace_cfg()
@@ -307,10 +321,27 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
         n_strips = -(-cfg.height // rows_per)
         total = jnp.zeros((3, cfg.height, cfg.width))
         launch = 0
+        resume_from = 0
+        meta = None
+        if checkpoint is not None:
+            import numpy as _np
+            import os as _os2
+
+            meta = _np.array(
+                [cfg.width, cfg.height, cfg.spp, batch, chunk, rows_per, cfg.seed]
+            )
+            if _os2.path.exists(checkpoint):
+                st = _np.load(checkpoint)
+                if "meta" in st and _np.array_equal(st["meta"], meta):
+                    total = jnp.asarray(st["total"])
+                    resume_from = int(st["launch"])
         for s in range(n_strips):
             r0 = s * rows_per
             rs = min(rows_per, cfg.height - r0)
             for i in range(n_launches):
+                if launch < resume_from:
+                    launch += 1
+                    continue
                 part = _render_batch_regen_jit(
                     scene,
                     camera,
@@ -325,6 +356,12 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
                 )
                 total = total.at[:, r0 : r0 + rs, :].add(part)
                 launch += 1
+                if checkpoint is not None:
+                    import numpy as _np
+
+                    _np.savez(
+                        checkpoint, total=_np.asarray(total), launch=launch, meta=meta
+                    )
                 if progress is not None:
                     total.block_until_ready()
                     # spp-equivalent progress (launches complete strips)
@@ -353,7 +390,7 @@ def render_sum_n(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=N
 
 
 def render_sum(
-    scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None
+    scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None, checkpoint=None
 ) -> jnp.ndarray:
     """Full render -> (3, H, W) radiance MEAN-scaled sum over cfg.spp.
 
@@ -361,13 +398,15 @@ def render_sum(
     image mean (internally the sampler may take a few extra samples to keep
     batches uniform; the sum is rescaled accordingly).
     """
-    total, n = render_sum_n(scene, camera, cfg, progress=progress)
+    total, n = render_sum_n(scene, camera, cfg, progress=progress, checkpoint=checkpoint)
     if n != cfg.spp:
         total = total * (cfg.spp / n)
     return total
 
 
-def render(scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None):
+def render(
+    scene: SceneData, camera: Camera, cfg: RenderConfig, progress=None, checkpoint=None
+):
     """Full render -> u8[H, W, 3] tone-mapped image."""
-    total, n = render_sum_n(scene, camera, cfg, progress=progress)
+    total, n = render_sum_n(scene, camera, cfg, progress=progress, checkpoint=checkpoint)
     return tonemap_u8(total, n)

@@ -1,5 +1,7 @@
 """Integrator semantics: energy conservation, emission, MIS consistency."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -264,3 +266,50 @@ def test_regen_quota_narrow_drain_statistical(pool):
     img_q = np.asarray(render_batch_regen(scene, cam, key, 64, 64, 2, 8, cfg, pool=pool)) / 16
     img_s = np.asarray(render_batch(scene, cam, jax.random.fold_in(key, 1), 64, 64, 16, cfg)) / 16
     assert abs(img_q.mean() - img_s.mean()) / max(img_s.mean(), 1e-6) < 0.05
+
+
+def test_render_checkpoint_resume(tmp_path):
+    """r5 checkpoint/resume (the reference render is all-or-nothing,
+    SURVEY.md §5): interrupting after k launches and rerunning with the
+    same configuration must produce the IDENTICAL image (launches are
+    deterministic in their index)."""
+    from raytracer2022_tpu.render import renderer as R
+
+    b = SceneBuilder()
+    light = b.rect_xz(-1, 1, -1, 1, 3.9, b.diffuse_light((8.0, 8.0, 8.0)))
+    b.flip_face(light)
+    b.add_light(light)
+    b.rect_xz(-4, 4, -4, 4, 0.0, b.lambertian((0.6, 0.4, 0.3)))
+    scene = b.finalize()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    cfg = RenderConfig(
+        width=16, height=12, spp=8, max_depth=3, background=(0.0, 0.0, 0.0),
+        spp_per_batch=2, max_rays_per_batch=16 * 4 * 2,  # 3 row strips
+    )
+    os.environ["RT2022_MAX_SPP_SEQ"] = "1"  # 4 launches/strip -> 12 total
+    ref, n_ref = R.render_sum_n(scene, cam, cfg)
+    ref = np.asarray(ref)
+
+    ckpt = str(tmp_path / "render.npz")
+    orig = R._render_batch_regen_jit
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 5:
+            raise RuntimeError("simulated interruption")
+        return orig(*a, **kw)
+
+    R._render_batch_regen_jit = crashing
+    try:
+        with pytest.raises(RuntimeError):
+            R.render_sum_n(scene, cam, cfg, checkpoint=ckpt)
+    finally:
+        R._render_batch_regen_jit = orig
+    # resume: completes the remaining launches and matches exactly
+    try:
+        out, n = R.render_sum_n(scene, cam, cfg, checkpoint=ckpt)
+    finally:
+        del os.environ["RT2022_MAX_SPP_SEQ"]
+    assert n == n_ref
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)

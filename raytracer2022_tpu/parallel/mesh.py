@@ -58,15 +58,19 @@ def _sharded_render_fn(mesh: Mesh, axis_name: str, width, height, spp_local, tcf
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_regen_fn(mesh: Mesh, axis_name: str, width, height, spp_par, spp_seq, tcfg):
+def _sharded_regen_fn(
+    mesh: Mesh, axis_name: str, width, height, spp_par, spp_seq, tcfg, rows=None
+):
     """Build-and-cache the jitted sharded PRODUCTION render (regen
-    integrator + Pallas fast path) keyed on mesh + shape."""
+    integrator + Pallas fast path) keyed on mesh + shape.  ``rows`` tiles
+    a row strip (row0 rides as a dynamic scalar, renderer tiling)."""
 
-    def shard_fn(scene, camera, key):
+    def shard_fn(scene, camera, key, row0):
         idx = jax.lax.axis_index(axis_name)
         local_key = jax.random.fold_in(key, idx)
         part = render_batch_regen(
-            scene, camera, local_key, width, height, spp_par, spp_seq, tcfg
+            scene, camera, local_key, width, height, spp_par, spp_seq, tcfg,
+            row0=row0, rows=rows,
         )
         return jax.lax.psum(part, axis_name)
 
@@ -74,7 +78,7 @@ def _sharded_regen_fn(mesh: Mesh, axis_name: str, width, height, spp_par, spp_se
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -115,13 +119,31 @@ def render_sharded_regen_sum(
             ),
         )
     spp_seq = -(-spp_chip // spp_par)
-    fn = _sharded_regen_fn(
-        mesh, axis_name, cfg.width, cfg.height, spp_par, spp_seq, cfg.trace_cfg()
-    )
     key = jax.random.PRNGKey(cfg.seed)
     rep = NamedSharding(mesh, P())
     scene, camera, key = jax.device_put((scene, camera, key), rep)
-    return fn(scene, camera, key), n_chips * spp_par * spp_seq
+    # row-strip tiling (mirrors renderer.render_sum_n): large frames would
+    # otherwise launch W*H*spp_par lanes PER CHIP in one shot
+    rows_per = max(
+        1, min(cfg.height, cfg.max_rays_per_batch // max(1, cfg.width * spp_par))
+    )
+    if rows_per >= cfg.height:
+        fn = _sharded_regen_fn(
+            mesh, axis_name, cfg.width, cfg.height, spp_par, spp_seq,
+            cfg.trace_cfg(), rows=None,
+        )
+        return fn(scene, camera, key, jnp.int32(0)), n_chips * spp_par * spp_seq
+    total = jnp.zeros((3, cfg.height, cfg.width))
+    for s in range(-(-cfg.height // rows_per)):
+        r0 = s * rows_per
+        rs = min(rows_per, cfg.height - r0)
+        fn = _sharded_regen_fn(
+            mesh, axis_name, cfg.width, cfg.height, spp_par, spp_seq,
+            cfg.trace_cfg(), rows=rs,
+        )
+        part = fn(scene, camera, jax.random.fold_in(key, s), jnp.int32(r0))
+        total = total.at[:, r0 : r0 + rs, :].add(part)
+    return total, n_chips * spp_par * spp_seq
 
 
 def render_sharded_sum(

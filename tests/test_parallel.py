@@ -92,3 +92,28 @@ def test_fit_step_runs_and_reduces_loss_direction():
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     # fitting toward black must dim the light emission
     assert float(s2.textures.color.sum()) < float(scene.textures.color.sum())
+
+
+def test_sharded_regen_row_strips():
+    """r5 tiling through the sharded path: a lane cap that forces 3 row
+    strips must stitch the same image the single-strip path renders
+    (coarse statistical bound; a stitching bug — black or double-counted
+    rows — would miss by far more)."""
+    from raytracer2022_tpu.parallel.mesh import render_sharded_regen_sum
+
+    scene = _scene()
+    cam = make_camera((0, 2, -8), (0, 1, 0), (0, 1, 0), 40, 1.0)
+    mesh = make_device_mesh()
+    kw = dict(width=12, height=12, spp=64, max_depth=4, background=(0, 0, 0))
+    one, n1 = render_sharded_regen_sum(
+        scene, cam, RenderConfig(**kw), mesh
+    )
+    few, n2 = render_sharded_regen_sum(
+        scene, cam, RenderConfig(**kw, max_rays_per_batch=12 * 4), mesh
+    )
+    a = np.asarray(one) / n1
+    b = np.asarray(few) / n2
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.1
+    # every row covered exactly once: row means comparable row-by-row
+    ra, rb = a.mean(axis=(0, 2)), b.mean(axis=(0, 2))
+    assert np.all(np.abs(ra - rb) < 0.5 * np.maximum(ra, 0.2))

@@ -215,9 +215,11 @@ def regen_iters_estimate(
             spp_par=spp_par,
         )
         # tighter margin than the single-phase form: the drain cascade is
-        # the safety net for schedule variance across keys, so the pooled
-        # phase only needs to cover pool-drain jitter
-        main = min(int(int(iters) * 1.08) + slack // 2 + 1, bound)
+        # the safety net for schedule variance across keys, and per-chip
+        # trip counts concentrate tightly at production lane counts
+        # (tools/scaling.py: identical trips across seed folds), so the
+        # pooled phase only needs a small jitter allowance
+        main = min(int(int(iters) * 1.03) + 3, bound)
         return main, cfg.max_depth
     _, iters = trace_regen(
         scene,

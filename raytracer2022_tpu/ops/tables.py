@@ -112,7 +112,10 @@ def take_cols_nib(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.
     k = table.shape[-1]
     assert k == 256, k
     n = idx.shape[-1]
-    if not _use_onehot(k, n):
+    # budget on the NIBBLE build size (16*n), not the 256-wide one-hot this
+    # path exists to avoid — batched fetches (e.g. perlin's 8 corners as
+    # one 8N-wide fetch) stay on the fast path
+    if 16 * n > _BUDGET_ELEMS:
         return jnp.take(table, idx, axis=-1)
     if jnp.issubdtype(table.dtype, jnp.integer) or table.dtype == jnp.bool_:
         passes = min(passes, 2)

@@ -315,8 +315,23 @@ def trace_regen(
     fixed lane->pixel quotas and carries pixel ids for the final
     regrouping sort.
 
-    ``lax.while_loop`` exits when the pool is drained and every in-flight
-    path has terminated; this is forward-only (not
+    **Pixel pool** (``pool="pixel"``, r5): each pixel's
+    ``spp_par * spp_seq`` samples are shared by that pixel's own
+    ``spp_par`` lanes — per-lane radiance (no slot store at all) at ~2.7
+    iterations/sample vs the quota schedule's ~3.5 max-over-lanes.  Best
+    for scenes with uniform path lengths (cornell, random_scene), where
+    launch depth becomes nearly free; heterogeneous scenes keep the
+    global pool (a hard pixel would stall its own lanes).
+
+    **Narrow drains** (r5, all three schedules): late iterations run at
+    collapsing occupancy, so once the stragglers fit in N/4 they are
+    compacted into a narrow wavefront and finished there — quota lanes
+    keep regenerating until their quotas complete, and pixel-pool lanes
+    carry their pixel's leftover pool as per-lane quotas, so per-pixel
+    sample counts stay exactly ``spp_par * spp_seq`` in every mode.
+
+    ``lax.while_loop`` exits when all work is done (phase A hands off to
+    the drain at the N/4 threshold); this is forward-only (not
     reverse-differentiable) — the fit path uses :func:`trace_regen_diff`
     or :func:`trace`.
     """

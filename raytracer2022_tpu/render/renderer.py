@@ -359,11 +359,16 @@ def render_sum_n(
                 total = total.at[:, r0 : r0 + rs, :].add(part)
                 launch += 1
                 if checkpoint is not None:
+                    import os as _os3
+
                     import numpy as _np
 
-                    _np.savez(
-                        checkpoint, total=_np.asarray(total), launch=launch, meta=meta
-                    )
+                    # atomic write: a crash mid-save must not corrupt the
+                    # resume state (np.load of a torn file raises); savez
+                    # keeps names that already end in .npz
+                    tmp = checkpoint + ".tmp.npz"
+                    _np.savez(tmp, total=_np.asarray(total), launch=launch, meta=meta)
+                    _os3.replace(tmp, checkpoint)
                 if progress is not None:
                     total.block_until_ready()
                     # spp-equivalent progress (launches complete strips)

@@ -82,7 +82,9 @@ def main(argv=None) -> int:
         elapsed += dt
         total = total + part
         done_spp = lo + spp_c
-        np.savez(args.state, total=total, done_spp=done_spp, elapsed=elapsed)
+        tmp = args.state + ".tmp.npz"  # savez keeps names ending in .npz
+        np.savez(tmp, total=total, done_spp=done_spp, elapsed=elapsed)
+        os.replace(tmp, args.state)
         rate = args.width * args.height * spp_c / dt / 1e6
         print(
             f"# chunk {ci + 1}/{n_chunks}: {spp_c} spp in {dt:.1f}s "

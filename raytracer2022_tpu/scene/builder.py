@@ -419,7 +419,7 @@ class SceneBuilder:
     def finalize(
         self,
         bvh_threshold: int = 512,
-        cluster_size: int = 256,  # 256 beat 128 by ~4% on final_scene's walks
+        cluster_size: int = 512,  # r5 re-sweep post-BOX-fusion: 512 beats 256 by ~8% on final_scene's sphere walk (128: 1.90, 256: 2.01, 512: 2.16, 1024: 2.17 Mpaths/s)
         bvh8_kinds: Optional[tuple] = None,
     ) -> SceneData:
         """Compile to flat device arrays.

@@ -329,8 +329,12 @@ def render_sum_n(
             import numpy as _np
             import os as _os2
 
+            # scene/camera fingerprint: resuming against a different scene
+            # with the same dimensions must restart, not blend images
+            fp = float(jnp.sum(scene.params)) + 1e-3 * scene.n_prims
+            fp += float(jnp.sum(jnp.asarray(camera.origin)))
             meta = _np.array(
-                [cfg.width, cfg.height, cfg.spp, batch, chunk, rows_per, cfg.seed]
+                [cfg.width, cfg.height, cfg.spp, batch, chunk, rows_per, cfg.seed, fp]
             )
             if _os2.path.exists(checkpoint):
                 st = _np.load(checkpoint)

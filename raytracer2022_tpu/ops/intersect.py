@@ -774,16 +774,18 @@ def hit_details(
         # |t_face - t| picks its axis.  Outward normal and uv are then the
         # winning face rect's (normal +e_axis before set_face_normal;
         # uv from the two in-plane axes' extents).
-        bo_inv = (1.0 / od[0], 1.0 / od[1], 1.0 / od[2])
+        # grad-safe: an axis-parallel ray (od[a] == 0) cannot hit the
+        # a-faces — excluded by construction rather than via 1/0 = inf,
+        # whose NaN primals would poison reverse-mode through abs' VJP
+        # (sign(NaN) * 0-cotangent = NaN) even though only the discrete
+        # argmin consumes these values
         errs = []
         for a in range(3):
-            t_lo = (p[a] - oo[a]) * bo_inv[a]
-            t_hi = (p[3 + a] - oo[a]) * bo_inv[a]
-            errs.append(
-                jnp.minimum(jnp.abs(t_best - t_lo), jnp.abs(t_best - t_hi))
-            )
-        err3 = jnp.stack(errs)  # (3, N); NaNs (parallel axes) lose argmin
-        err3 = jnp.where(jnp.isnan(err3), INF, err3)
+            t_lo = safe_div(p[a] - oo[a], od[a])
+            t_hi = safe_div(p[3 + a] - oo[a], od[a])
+            err_a = jnp.minimum(jnp.abs(t_best - t_lo), jnp.abs(t_best - t_hi))
+            errs.append(jnp.where(od[a] == 0.0, INF, err_a))
+        err3 = jnp.stack(errs)  # (3, N)
         ka_box = jnp.argmin(err3, axis=0).astype(jnp.int32)
         a_axis, b_axis = _rect_axes(ka_box)
         lo3 = vec3(p[0], p[1], p[2])

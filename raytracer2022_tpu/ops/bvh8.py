@@ -192,8 +192,10 @@ def build_bvh8(
         child_entry.append(ce)
         slots = collect8(i)
         # near-first visit order per ray-sign octant: slots sorted by
-        # centroid projection along the octant direction (empty slots at
-        # FAR sort last automatically via their +FAR centroids)
+        # centroid projection along the octant direction.  Empty slots'
+        # FAR centroids land at either end depending on the octant's
+        # signs — irrelevant either way: their entries are SENT and the
+        # push loop skips them
         cent = np.full((FANOUT, 3), FAR, np.float64)
         for j, s in enumerate(slots):
             cent[j] = (nb_min[s] + nb_max[s]) * 0.5

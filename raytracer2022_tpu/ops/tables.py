@@ -98,11 +98,16 @@ def take_cols_nib(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.
 
     The (256, N) one-hot compare build dominates ``take_cols`` when the
     table has few rows (perlin: 11 such fetches per octave were the top
-    texture cost, BASELINE.md stage table).  Factoring idx = hi*16 + lo
-    replaces it with two (16, N) builds: step 1 contracts the lo nibble on
-    the MXU for every hi slice at once (same FLOPs, 8x fewer compare ops);
-    step 2 selects the hi slice with a 0/1 multiply-sum on the VPU
-    (C*16 FMAs/lane).  Build cost per fetch: 256N -> 32N compares.
+    texture cost, BASELINE.md stage table).  Factoring idx = hi*32 + lo
+    replaces it with a (32, N) lo build + an (8, N) hi build: step 1
+    contracts the low 5 bits on the MXU for every hi slice at once (same
+    FLOPs, 6.4x fewer compare ops); step 2 selects the hi slice with a 0/1
+    multiply-sum on the VPU (C*8 FMAs/lane).
+
+    Split choice (r5, measured end-to-end on final_scene's 56-fetch perlin
+    marble): the dominant traffic is the f32 ``part`` intermediate
+    (C*H_hi, N), so fewer hi slices wins until the lo one-hot build takes
+    over — 16x16: 2.17, **32x8: 2.48**, 64x4: 2.31 Mpaths/s.
 
     Exactness matches ``take_cols``: both one-hots are 0/1 (exact in bf16),
     step 1's hi/lo bf16 table split reconstructs the entry exactly for a
@@ -112,21 +117,21 @@ def take_cols_nib(table: jnp.ndarray, idx: jnp.ndarray, passes: int = 3) -> jnp.
     k = table.shape[-1]
     assert k == 256, k
     n = idx.shape[-1]
-    # budget on the NIBBLE build size (16*n), not the 256-wide one-hot this
-    # path exists to avoid — batched fetches (e.g. perlin's 8 corners as
-    # one 8N-wide fetch) stay on the fast path
-    if 16 * n > _BUDGET_ELEMS:
+    # budget on the factored build size (32*n), not the 256-wide one-hot
+    # this path exists to avoid — batched fetches (e.g. perlin's 8 corners
+    # as one 8N-wide fetch) stay on the fast path
+    if 32 * n > _BUDGET_ELEMS:
         return jnp.take(table, idx, axis=-1)
     if jnp.issubdtype(table.dtype, jnp.integer) or table.dtype == jnp.bool_:
         passes = min(passes, 2)
-    hi = (idx >> 4).astype(idx.dtype)
-    lo = (idx & 15).astype(idx.dtype)
-    flat = table.reshape(-1, 16, 16).astype(jnp.float32)  # (C, hi, lo)
-    part = onehot_dot(flat.reshape(-1, 16), onehot(lo, 16), passes=passes)
-    part = part.reshape(-1, 16, n)  # (C, hi, N)
-    oh_hi = (idx[None, :] >> 4 == jnp.arange(16, dtype=idx.dtype)[:, None]).astype(
+    hi = (idx >> 5).astype(idx.dtype)
+    lo = (idx & 31).astype(idx.dtype)
+    flat = table.reshape(-1, 8, 32).astype(jnp.float32)  # (C, hi, lo)
+    part = onehot_dot(flat.reshape(-1, 32), onehot(lo, 32), passes=passes)
+    part = part.reshape(-1, 8, n)  # (C, hi, N)
+    oh_hi = (idx[None, :] >> 5 == jnp.arange(8, dtype=idx.dtype)[:, None]).astype(
         jnp.float32
-    )  # (16, N)
+    )  # (8, N)
     out = jnp.sum(part * oh_hi[None], axis=1)  # (C, N)
     return _restore_dtype(out.reshape(*table.shape[:-1], n), table.dtype)
 

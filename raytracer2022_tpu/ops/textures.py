@@ -51,9 +51,10 @@ def perlin_noise(tt: TextureTable, p: jnp.ndarray) -> jnp.ndarray:
     # permutation, so perm[i] and perm[(i+1)&255] ride the same dot.
     # Per-ray gathers from the 256-entry tables are the TPU anti-pattern;
     # the (256, N) one-hot builds those fetches need were the dominant
-    # texture cost, so all perlin fetches use the 16x16 nibble
-    # factorization (take_cols_nib: 8x fewer compare ops, bit-identical).
-    # Perm values are 0..255, exact in one bf16 pass.
+    # texture cost, so all perlin fetches use the 32x8 factorization
+    # (take_cols_nib: 6.4x fewer compare ops, and the measured-best
+    # lo/hi split — see its docstring).  Perm values are 0..255, exact
+    # in one bf16 pass.
     perm = []
     for a in range(3):
         stacked = jnp.stack([tt.perlin_perm[a], jnp.roll(tt.perlin_perm[a], -1)])

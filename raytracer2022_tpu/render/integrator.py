@@ -676,8 +676,11 @@ def trace_regen(
             alive2 = jnp.take(working, perm)
             pix_b = jnp.where(alive2, jnp.take(pix, perm), n_pix)
 
+            n3 = n // 16
+
             def cond_b(s):
-                return (s[0] < cfg.max_depth + 1) & jnp.any(s[6])
+                # hand off to the N/16 stage once the survivors fit there
+                return (s[0] < cfg.max_depth + 1) & (jnp.sum(s[6]) > n3)
 
             def body_b(s):
                 j, o, d, tm, th, sr, alive, dp = s
@@ -707,7 +710,33 @@ def trace_regen(
                 take(depth),
             )
             sb = jax.lax.while_loop(cond_b, body_b, sb)
-            vals = jnp.concatenate([vals, sb[5]], axis=1)
+            # drain cascade (mirrors trace_regen_diff's): occupancy keeps
+            # decaying through the tail, so once the survivors fit in N/16
+            # compact again and finish there — same masked bounce body,
+            # iteration counter carried forward so the RNG key sequence
+            # continues without reuse
+            alive1 = sb[6]
+            perm2 = jnp.argsort(~alive1, stable=True)[:n3]
+
+            def take2(x):
+                return jnp.take(x, perm2, axis=-1)
+
+            def cond_c(s):
+                return (s[0] < cfg.max_depth + 1) & jnp.any(s[6])
+
+            s2 = (
+                sb[0],
+                take2(sb[1]),
+                take2(sb[2]),
+                take2(sb[3]),
+                take2(sb[4]),
+                take2(sb[5]),
+                jnp.take(alive1, perm2),
+                take2(sb[7]),
+            )
+            s2 = jax.lax.while_loop(cond_c, body_b, s2)
+            sr1 = sb[5].at[:, perm2].set(s2[5])
+            vals = jnp.concatenate([vals, sr1], axis=1)
             pids = jnp.concatenate([pids, pix_b])
         # ONE regroup by pixel at launch end (sentinel n_pix rows drop off)
         img = jax.ops.segment_sum(

@@ -563,8 +563,13 @@ def trace_regen(
         def take(x):
             return jnp.take(x, perm, axis=-1)
 
+        n3 = n // 16
+
         def cond_p(s):
-            return (s[0] < max_iter) & jnp.any(s[7])
+            # hand off to the N/16 stage once the survivors fit there (a
+            # lane goes dead only when it finishes with need == 0, so the
+            # alive count is monotone and the handoff is sound)
+            return (s[0] < max_iter) & (jnp.sum(s[7]) > n3)
 
         def body_p(s):
             it, o, d, tm, th, rad, need, al, dp, pixb = s
@@ -601,7 +606,32 @@ def trace_regen(
             take(pix),
         )
         sp0 = jax.lax.while_loop(cond_p, body_p, sp0)
-        radiance = radiance.at[:, perm].set(sp0[5])
+        # cascade: compact the last stragglers (and their leftover quotas)
+        # into N/16 and finish them there
+        alive1 = sp0[7]
+        perm2 = jnp.argsort(~alive1, stable=True)[:n3]
+
+        def take2(x):
+            return jnp.take(x, perm2, axis=-1)
+
+        def cond_p2(s):
+            return (s[0] < max_iter) & jnp.any(s[7])
+
+        sp2 = (
+            sp0[0],
+            take2(sp0[1]),
+            take2(sp0[2]),
+            take2(sp0[3]),
+            take2(sp0[4]),
+            take2(sp0[5]),
+            take2(sp0[6]),
+            jnp.take(alive1, perm2),
+            take2(sp0[8]),
+            take2(sp0[9]),
+        )
+        sp2 = jax.lax.while_loop(cond_p2, body_p, sp2)
+        rad1 = sp0[5].at[:, perm2].set(sp2[5])
+        radiance = radiance.at[:, perm].set(rad1)
     if not sched and not psched and narrow:
         # quota drain: lanes still owing samples are compacted into an N/4
         # wavefront and run the SAME quota schedule there (regeneration
@@ -617,8 +647,12 @@ def trace_regen(
         def take(x):
             return jnp.take(x, perm, axis=-1)
 
+        n3 = n // 16
+
         def cond_b(s):
-            return (s[0] < max_iter) & jnp.any(s[6] < spp_seq)
+            # hand off to the N/16 stage once the lanes still owing quota
+            # fit there (done is monotone non-decreasing per lane)
+            return (s[0] < max_iter) & (jnp.sum(s[6] < spp_seq) > n3)
 
         def body_b(s):
             it, o, d, tm, th, rad, done, dp, pixb = s
@@ -655,9 +689,33 @@ def trace_regen(
             take(pix),
         )
         sb = jax.lax.while_loop(cond_b, body_b, sb)
+        # cascade: compact the lanes still owing quota into N/16 and run
+        # the same quota schedule there until every quota completes
+        working1 = sb[6] < spp_seq
+        perm2 = jnp.argsort(~working1, stable=True)[:n3]
+
+        def take2(x):
+            return jnp.take(x, perm2, axis=-1)
+
+        def cond_b2(s):
+            return (s[0] < max_iter) & jnp.any(s[6] < spp_seq)
+
+        sb2 = (
+            sb[0],
+            take2(sb[1]),
+            take2(sb[2]),
+            take2(sb[3]),
+            take2(sb[4]),
+            take2(sb[5]),
+            take2(sb[6]),
+            take2(sb[7]),
+            take2(sb[8]),
+        )
+        sb2 = jax.lax.while_loop(cond_b2, body_b, sb2)
+        rad1 = sb[5].at[:, perm2].set(sb2[5])
         # compacted lanes' radiance continued in the narrow arrays; the
         # scatter-set (unique indices) puts their finals back in place
-        radiance = radiance.at[:, perm].set(sb[5])
+        radiance = radiance.at[:, perm].set(rad1)
     if sched:
         store, sample_rad, pix_map = radiance
         vals = store.reshape(3, -1)
